@@ -1,0 +1,122 @@
+"""Static-shape graph container.
+
+The reference threads a PyG `Data` object (x, edge_index, y, masks, prob, He)
+through every layer (reference datasets.py:176-232, training_hybrid.py:29-48).
+On TPU everything under jit is traced once with static shapes, so the graph
+container is an immutable pytree of fixed-size arrays; variable-size graphs
+are padded (``num_edges``/``num_nodes`` record the valid prefix) so that one
+compiled step serves every partition of a clustered graph.
+
+Conventions:
+  * COO edge list ``senders``/``receivers`` of shape (E,), int32. Messages
+    flow sender -> receiver (same as PyG's row -> col, source_to_target).
+  * Padding edges point at node index ``num_nodes`` - callers allocate one
+    extra "ghost" row so padded edges aggregate into a discarded slot, or use
+    ``edge_mask`` to zero contributions.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["x", "senders", "receivers", "y", "train_mask",
+                      "val_mask", "test_mask", "prob", "edge_mask"],
+         meta_fields=["num_classes"])
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """One graph (or one cluster partition) with static shapes.
+
+    Mirrors the fields the reference attaches to PyG ``Data``
+    (datasets.py:221-227: ``num_classes``, ``He``, ``prob``).
+    """
+
+    x: jax.Array            # (N, F) node features
+    senders: jax.Array      # (E,) int32 edge sources (row)
+    receivers: jax.Array    # (E,) int32 edge destinations (col)
+    y: jax.Array            # (N,) int32 labels
+    train_mask: jax.Array   # (N,) bool
+    val_mask: jax.Array     # (N,) bool
+    test_mask: jax.Array    # (N,) bool
+    prob: jax.Array         # (E,) float sampling prior (degree or ER)
+    edge_mask: jax.Array    # (E,) bool; False on padding edges
+    num_classes: int = 0
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def edge_index(self) -> jax.Array:
+        """(2, E) stacked COO, PyG-style."""
+        return jnp.stack([self.senders, self.receivers])
+
+    def replace(self, **kw) -> "Graph":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def build(x, edge_index, y, train_mask=None, val_mask=None,
+              test_mask=None, prob=None, num_classes: Optional[int] = None,
+              pad_edges_to: Optional[int] = None) -> "Graph":
+        """Construct from host numpy arrays, optionally padding the edge list.
+
+        Padding edges are self-loops on node 0 with ``edge_mask=False`` and
+        zero prior probability, so samplers and aggregations ignore them.
+        """
+        x = np.asarray(x, dtype=np.float32)
+        edge_index = np.asarray(edge_index, dtype=np.int32)
+        n, e = x.shape[0], edge_index.shape[1]
+        y = np.asarray(y, dtype=np.int32).reshape(-1)
+        if num_classes is None:
+            num_classes = int(y.max()) + 1 if y.size else 0
+        zeros = np.zeros(n, dtype=bool)
+        train_mask = zeros if train_mask is None else np.asarray(train_mask, bool)
+        val_mask = zeros if val_mask is None else np.asarray(val_mask, bool)
+        test_mask = zeros if test_mask is None else np.asarray(test_mask, bool)
+        if prob is None:
+            prob = np.full(e, 1.0 / max(e, 1), dtype=np.float32)
+        prob = np.asarray(prob, dtype=np.float32)
+
+        edge_mask = np.ones(e, dtype=bool)
+        if pad_edges_to is not None and pad_edges_to > e:
+            pad = pad_edges_to - e
+            edge_index = np.concatenate(
+                [edge_index, np.zeros((2, pad), dtype=np.int32)], axis=1)
+            prob = np.concatenate([prob, np.zeros(pad, dtype=np.float32)])
+            edge_mask = np.concatenate([edge_mask, np.zeros(pad, dtype=bool)])
+
+        return Graph(
+            x=jnp.asarray(x),
+            senders=jnp.asarray(edge_index[0]),
+            receivers=jnp.asarray(edge_index[1]),
+            y=jnp.asarray(y),
+            train_mask=jnp.asarray(train_mask),
+            val_mask=jnp.asarray(val_mask),
+            test_mask=jnp.asarray(test_mask),
+            prob=jnp.asarray(prob),
+            edge_mask=jnp.asarray(edge_mask),
+            num_classes=int(num_classes),
+        )
+
+
+def edge_homophily(senders, receivers, y, edge_mask=None) -> jax.Array:
+    """Fraction of edges whose endpoints share a label.
+
+    TPU-native replacement for ``torch_geometric.utils.homophily(...,
+    method='edge')`` used at reference datasets.py:222.
+    """
+    same = (y[senders] == y[receivers]).astype(jnp.float32)
+    if edge_mask is not None:
+        m = edge_mask.astype(jnp.float32)
+        return jnp.sum(same * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(same)
