@@ -1,0 +1,92 @@
+"""Ensemble evaluation (reference evaluate.py:70-173).
+
+The reference draws `num_samples_eval` sampled subgraphs per cluster batch,
+averages the logits, and reports per-mask micro-F1 weighted by mask size
+across batches. Differences in mechanics, not semantics:
+
+  * the edge scorer runs in eval mode (no dropout) so its output is
+    identical across draws — it is computed ONCE per batch here instead of
+    once per draw (the reference recomputes it 11x, evaluate.py:84).
+  * the draw loop is a vmap over sampling keys; logits are averaged on
+    device; micro-F1 is computed on device (masked accuracy).
+
+Returns per-split (weighted_f1_sum, count) so the host loop can aggregate
+across partitions exactly like the reference (evaluate.py:152-165).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Config
+from ..core.graph import Graph
+from ..sparsify.sampling import sample_edges, sample_prior_edges, random_edges
+from ..train.losses import micro_f1
+
+
+def make_eval_step(cfg: Config, model, q: int):
+    mode = cfg.mode
+    n_draws = cfg.num_samples_eval
+
+    def eval_step(params, g: Graph, key, temperature):
+        e = g.num_edges
+
+        def forward(s, r, w):
+            return model.apply(params, g.x, s, r, w, deterministic=True)
+
+        if mode == "full" or e <= q:
+            logits = forward(g.senders, g.receivers, None)
+        elif mode == "learned":
+            # deterministic scorer -> score once; full-graph propagation
+            # (reference evaluate.py:84 calls the scorer without the random
+            # subgraph during eval)
+            probs = model.apply(params, g.x, g.senders, g.receivers,
+                                g.senders, g.receivers, True, False,
+                                method="score_edges")
+
+            def draw(k):
+                idx, w = sample_edges(k, probs, g.prob, q,
+                                      cfg.degree_bias_coef, istest=True,
+                                      edge_mask=g.edge_mask)
+                return forward(g.senders[idx], g.receivers[idx], w)
+
+            logits = jnp.mean(
+                jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)
+        elif mode == "random":
+            def draw(k):
+                idx = random_edges(k, e, q, edge_mask=g.edge_mask)
+                return forward(g.senders[idx], g.receivers[idx], None)
+            logits = jnp.mean(
+                jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)
+        elif mode == "edge":
+            def draw(k):
+                idx = sample_prior_edges(k, g.prob, q, edge_mask=g.edge_mask)
+                return forward(g.senders[idx], g.receivers[idx], None)
+            logits = jnp.mean(
+                jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)
+        else:
+            raise ValueError(mode)
+
+        out: Dict[str, jax.Array] = {}
+        for split, mask in (("train", g.train_mask), ("val", g.val_mask),
+                            ("test", g.test_mask)):
+            cnt = jnp.sum(mask.astype(jnp.float32))
+            f1 = micro_f1(logits, g.y, mask)
+            out[f"{split}_f1_weighted"] = f1 * cnt
+            out[f"{split}_count"] = cnt
+        return out
+
+    return jax.jit(eval_step)
+
+
+def aggregate_eval(batch_results) -> Dict[str, float]:
+    """Weighted-mean F1 across partition batches (reference
+    evaluate.py:169-172)."""
+    out = {}
+    for split in ("train", "val", "test"):
+        tot = sum(float(r[f"{split}_f1_weighted"]) for r in batch_results)
+        cnt = sum(float(r[f"{split}_count"]) for r in batch_results)
+        out[f"{split}_f1"] = tot / cnt if cnt > 0 else 0.0
+    return out

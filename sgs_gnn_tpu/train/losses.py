@@ -1,0 +1,72 @@
+"""Losses and on-device metrics.
+
+Everything stays on device — the reference syncs to CPU for sklearn micro-F1
+twice per batch when the conditional gate is on (reference utils.py:163-169,
+training_hybrid.py:94-95); here micro-F1 over single-label predictions is
+computed as masked accuracy in jnp (mathematically identical).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_LOG_EPS = 1e-12
+
+
+def masked_cross_entropy(logits, labels, mask):
+    """Mean CE over masked nodes (reference `criterion(out[mask], y[mask])`,
+    nn.CrossEntropyLoss at main.py:125)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    m = mask.astype(nll.dtype)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def micro_f1(logits, labels, mask):
+    """Micro-averaged F1 == accuracy for single-label classification
+    (sklearn f1_score(average='micro'); reference utils.py:163-169)."""
+    preds = jnp.argmax(logits, axis=-1)
+    hit = (preds == labels).astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(hit * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def assortative_bce(edge_probs, sampled_senders, sampled_receivers, y,
+                    train_mask):
+    """reg1 — homophily BCE over sampled train-train edges
+    (reference training_hybrid.py:107-129).
+
+    Edges whose endpoints are both train nodes get label 1 if same class
+    else 0; BCE(edge_prob, label) averaged over those edges. The loss is
+    zeroed unless the number of positive labels exceeds 1 (reference's
+    ``torch.sum(valid_edge_labels).item() > 1`` gate) — reproduced with a
+    traced boolean so the step stays jit-compiled.
+
+    Note on the membership test: the reference checks
+    ``isin(src, nonzero(train_mask))`` which equals ``train_mask[src]``.
+    """
+    both_train = train_mask[sampled_senders] & train_mask[sampled_receivers]
+    same = (y[sampled_senders] == y[sampled_receivers])
+    labels = same.astype(edge_probs.dtype)
+    p = jnp.clip(edge_probs, _LOG_EPS, 1.0 - _LOG_EPS)
+    bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    valid = both_train.astype(edge_probs.dtype)
+    mean_bce = jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    n_pos = jnp.sum(labels * valid)
+    return jnp.where(n_pos > 1.0, mean_bce, 0.0)
+
+
+def consistency_loss(edge_probs, sampled_senders, sampled_receivers,
+                     node_embeddings):
+    """reg2 — MSE between sampled-edge probabilities and cosine similarity of
+    the GNN output embeddings of the endpoints (reference utils.py:187-211).
+
+    torch cosine_similarity clamps the denominator at eps=1e-8.
+    """
+    src = node_embeddings[sampled_senders]
+    dst = node_embeddings[sampled_receivers]
+    num = jnp.sum(src * dst, axis=-1)
+    denom = jnp.maximum(jnp.linalg.norm(src, axis=-1), 1e-8) * \
+        jnp.maximum(jnp.linalg.norm(dst, axis=-1), 1e-8)
+    cos = num / denom
+    return jnp.mean((edge_probs - cos) ** 2)

@@ -1,0 +1,204 @@
+"""Training pipelines as jitted step functions.
+
+One compiled step = one cluster-partition batch of the reference's training
+loop (reference training_{two_pass,straight_through,hybrid}.py). All three
+pipelines share the tail (conditional gate, reg1/reg2, dual-optimizer
+update); they differ only in how edge probabilities reach the GNN:
+
+  two_pass          score full graph w/o grad -> sample -> RE-score the
+                    sampled edges with grad (training_two_pass.py:48-80)
+  straight_through  one grad-enabled scoring pass; the sampler's
+                    straight-through weights feed the GNN so gradients flow
+                    through the sampling distribution
+                    (training_straight_through.py:49-75)
+  hybrid            one grad-enabled scoring pass (optionally rematerialized,
+                    = --hybrid_checkpoint); sample on detached probs; reuse
+                    the same tensor's sampled entries as weights
+                    (training_hybrid.py:51-88)
+
+The reference's data-dependent control flow becomes jit-friendly selection:
+the conditional gate computes both branch losses and selects with
+``jnp.where`` on a stop-gradiented predicate, and the optimizer applies
+where-masked state updates (see train/optim.py). Decisions that are static
+(mode, pipeline, flags, E vs q) stay Python-level so XLA never sees them.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Config
+from ..core.graph import Graph
+from ..sparsify.sampling import (sample_edges, sample_prior_edges,
+                                 random_edges, temperature_at)
+from .losses import (masked_cross_entropy, micro_f1, assortative_bce,
+                     consistency_loss)
+from .optim import DualOptimizer, DualOptState
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    temperature: jax.Array
+    conditional_update: jax.Array  # 1.0 if the edge scorer was updated
+    learned_f1: jax.Array
+    random_f1: jax.Array
+
+
+def _apply_gnn(model, params, x, s, r, w, key):
+    return model.apply(params, x, s, r, w, deterministic=False,
+                       rngs={"dropout": key})
+
+
+def _score(model, params, x, prop_s, prop_r, score_s, score_r, key,
+           use_remat=False):
+    return model.apply(params, x, prop_s, prop_r, score_s, score_r,
+                       False, use_remat, rngs={"dropout": key},
+                       method="score_edges")
+
+
+def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
+                    max_epoch: int):
+    """Build the jitted per-batch train step for cfg.{mode,pipeline}.
+
+    Returned signature:
+        step(params, opt_state, graph, epoch, key)
+            -> (params, opt_state, StepMetrics)
+    The E<=q decision is made at trace time from the graph's static edge
+    count (reference training_hybrid.py:41), so padded partitions of equal
+    shape share one executable.
+    """
+    mode, pipeline = cfg.mode, cfg.pipeline
+
+    def learned_step(params, opt_state, g: Graph, epoch, key):
+        e = g.num_edges
+        if e <= q:
+            # small-batch path: full graph, CE only, gnn optimizer only
+            # (reference training_hybrid.py:142-147)
+            def loss_fn(p):
+                out = _apply_gnn(model, p, g.x, g.senders, g.receivers,
+                                 None, key)
+                return masked_cross_entropy(out, g.y, g.train_mask)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params2, opt_state2 = opt.step_gnn_only(params, grads, opt_state)
+            t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
+            return params2, opt_state2, StepMetrics(loss, t, jnp.zeros(()),
+                                                    jnp.zeros(()), jnp.zeros(()))
+
+        k_rand, k_sample, k_s1, k_s2, k_g1, k_g2 = jax.random.split(key, 6)
+        use_rand = cfg.conditional or cfg.sparse_edge_mlp
+        if use_rand:
+            # degree-prior random subgraph, used for the conditional gate's
+            # comparison forward AND as the scorer's propagation graph
+            # (reference training_hybrid.py:45-57: random_sampled_edge_index
+            # is passed to edge_prob_mlp whenever conditional or
+            # sparse_edge_mlp is on)
+            rand_idx = sample_prior_edges(k_rand, g.prob, q, g.edge_mask)
+            rand_s = g.senders[rand_idx]
+            rand_r = g.receivers[rand_idx]
+            prop_s, prop_r = rand_s, rand_r
+        else:
+            prop_s, prop_r = g.senders, g.receivers
+
+        t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
+
+        def loss_fn(p):
+            if pipeline == "two_pass":
+                # pass 1 (no grad) on the full edge set
+                probs_full = jax.lax.stop_gradient(_score(
+                    model, p, g.x, prop_s, prop_r, g.senders, g.receivers,
+                    k_s1))
+                idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
+                                      cfg.degree_bias_coef,
+                                      edge_mask=g.edge_mask)
+                s_s, s_r = g.senders[idx], g.receivers[idx]
+                # pass 3: grad-enabled re-score of only the sampled edges;
+                # the scorer's encoder propagates on the sampled subgraph
+                # (training_two_pass.py:75-77 passes sampled_edge_index as
+                # the graph)
+                weights = _score(model, p, g.x, s_s, s_r, s_s, s_r, k_s2)
+                probs_for_loss = weights
+            elif pipeline == "straight_through":
+                probs_full = _score(model, p, g.x, prop_s, prop_r,
+                                    g.senders, g.receivers, k_s1)
+                idx, weights = sample_edges(k_sample, probs_full, g.prob, q,
+                                            cfg.degree_bias_coef,
+                                            edge_mask=g.edge_mask)
+                s_s, s_r = g.senders[idx], g.receivers[idx]
+                probs_for_loss = weights
+            elif pipeline == "hybrid":
+                probs_full = _score(model, p, g.x, prop_s, prop_r,
+                                    g.senders, g.receivers, k_s1,
+                                    use_remat=cfg.hybrid_checkpoint)
+                idx, _ = sample_edges(
+                    k_sample, jax.lax.stop_gradient(probs_full), g.prob, q,
+                    cfg.degree_bias_coef, edge_mask=g.edge_mask)
+                s_s, s_r = g.senders[idx], g.receivers[idx]
+                # hybrid's trick: differentiable weights are a gather of the
+                # SAME tensor used for sampling (training_hybrid.py:86)
+                weights = probs_full[idx]
+                probs_for_loss = weights
+            else:
+                raise ValueError(pipeline)
+
+            learned_out = _apply_gnn(model, p, g.x, s_s, s_r, weights, k_g1)
+            loss = masked_cross_entropy(learned_out, g.y, g.train_mask)
+            if cfg.reg1:
+                loss = loss + cfg.regularizer1_coef * assortative_bce(
+                    probs_for_loss, s_s, s_r, g.y, g.train_mask)
+            if cfg.reg2:
+                loss = loss + cfg.consist_reg_coef * consistency_loss(
+                    probs_for_loss, s_s, s_r, learned_out)
+
+            if cfg.conditional:
+                random_out = _apply_gnn(model, p, g.x, rand_s, rand_r,
+                                        None, k_g2)
+                lf1 = micro_f1(learned_out, g.y, g.train_mask)
+                rf1 = micro_f1(random_out, g.y, g.train_mask)
+                gate = jax.lax.stop_gradient(lf1 > rf1)
+                loss_random = masked_cross_entropy(random_out, g.y,
+                                                   g.train_mask)
+                total = jnp.where(gate, loss, loss_random)
+            else:
+                gate = jnp.asarray(True)
+                lf1 = rf1 = jnp.zeros(())
+                total = loss
+            return total, (gate, lf1, rf1)
+
+        (loss, (gate, lf1, rf1)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params2, opt_state2 = opt.step_learned(params, grads, opt_state, gate)
+        return params2, opt_state2, StepMetrics(
+            loss, t, gate.astype(jnp.float32), lf1, rf1)
+
+    def baseline_step(params, opt_state, g: Graph, epoch, key):
+        """random / edge / full modes (reference training_hybrid.py:149-180):
+        single forward on a (possibly sampled) subgraph, CE loss, third
+        optimizer with weight decay."""
+        e = g.num_edges
+        k_sel, k_drop = jax.random.split(key)
+        if mode == "full" or e <= q:
+            s_s, s_r = g.senders, g.receivers
+        elif mode == "random":
+            idx = random_edges(k_sel, e, q, edge_mask=g.edge_mask)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+        elif mode == "edge":
+            idx = sample_prior_edges(k_sel, g.prob, q, edge_mask=g.edge_mask)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+        else:
+            raise ValueError(mode)
+
+        def loss_fn(p):
+            out = _apply_gnn(model, p, g.x, s_s, s_r, None, k_drop)
+            return masked_cross_entropy(out, g.y, g.train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params2, opt_state2 = opt.step_all(params, grads, opt_state)
+        t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
+        return params2, opt_state2, StepMetrics(loss, t, jnp.zeros(()),
+                                                jnp.zeros(()), jnp.zeros(()))
+
+    step = learned_step if mode == "learned" else baseline_step
+    return jax.jit(step, donate_argnums=(0, 1) if cfg.donate else ())

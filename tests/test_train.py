@@ -1,0 +1,233 @@
+"""Train layer: Adam parity vs torch, loss oracles, pipeline smoke tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgs_gnn_tpu.core import Config, Graph
+from sgs_gnn_tpu.models import get_model, init_params
+from sgs_gnn_tpu.train import (DualOptimizer, masked_cross_entropy, micro_f1,
+                               assortative_bce, consistency_loss,
+                               make_train_step)
+from sgs_gnn_tpu.train.optim import _adam_group_update, AdamGroupState
+
+
+def test_adam_update_matches_torch(rng):
+    import torch
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(w0)}
+    state = AdamGroupState(jnp.zeros((), jnp.int32),
+                           {"w": jnp.zeros_like(params["w"])},
+                           {"w": jnp.zeros_like(params["w"])})
+    mask = {"w": True}
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tw], lr=0.01)
+    p = params
+    for i in range(5):
+        g_np = rng.normal(size=(4, 3)).astype(np.float32)
+        state, upd = _adam_group_update(state, {"w": jnp.asarray(g_np)}, p,
+                                        mask, True, lr=0.01)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+        tw.grad = torch.tensor(g_np)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(p["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_adam_weight_decay_matches_torch(rng):
+    import torch
+    w0 = rng.normal(size=(5,)).astype(np.float32)
+    params = {"w": jnp.asarray(w0)}
+    state = AdamGroupState(jnp.zeros((), jnp.int32),
+                           {"w": jnp.zeros_like(params["w"])},
+                           {"w": jnp.zeros_like(params["w"])})
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tw], lr=0.01, weight_decay=0.0005)
+    p = params
+    for i in range(4):
+        g_np = rng.normal(size=(5,)).astype(np.float32)
+        state, upd = _adam_group_update(state, {"w": jnp.asarray(g_np)}, p,
+                                        {"w": True}, True, lr=0.01,
+                                        weight_decay=0.0005)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+        tw.grad = torch.tensor(g_np)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(p["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gated_adam_skips_state():
+    params = {"w": jnp.ones((2,))}
+    state = AdamGroupState(jnp.zeros((), jnp.int32),
+                           {"w": jnp.zeros((2,))}, {"w": jnp.zeros((2,))})
+    g = {"w": jnp.ones((2,))}
+    s1, u1 = _adam_group_update(state, g, params, {"w": True}, False, lr=0.1)
+    assert int(s1.count) == 0
+    np.testing.assert_allclose(np.asarray(u1["w"]), 0.0)
+    np.testing.assert_allclose(np.asarray(s1.mu["w"]), 0.0)
+
+
+def test_masked_ce_and_f1_match_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    logits = rng.normal(size=(10, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 10)
+    mask = rng.random(10) < 0.5
+    if not mask.any():
+        mask[0] = True
+    ours = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                jnp.asarray(mask))
+    theirs = F.cross_entropy(torch.tensor(logits[mask]),
+                             torch.tensor(labels[mask]))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+    f1 = micro_f1(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask))
+    from sklearn.metrics import f1_score
+    preds = logits[mask].argmax(1)
+    expected = f1_score(labels[mask], preds, average="micro")
+    np.testing.assert_allclose(float(f1), expected, rtol=1e-6)
+
+
+def test_assortative_bce_matches_reference_semantics(rng):
+    import torch
+    import torch.nn.functional as F
+    n, e = 20, 40
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    y = rng.integers(0, 3, n)
+    train = rng.random(n) < 0.6
+    probs = rng.uniform(0.05, 0.95, e).astype(np.float32)
+
+    ours = assortative_bce(jnp.asarray(probs), jnp.asarray(s), jnp.asarray(r),
+                           jnp.asarray(y), jnp.asarray(train))
+
+    # reference computation (training_hybrid.py:107-129)
+    edge_labels = np.full(e, -1)
+    te = train[s] & train[r]
+    same = y[s] == y[r]
+    edge_labels[te & same] = 1
+    edge_labels[te & ~same] = 0
+    valid = edge_labels != -1
+    if edge_labels[valid].sum() > 1:
+        expected = float(F.binary_cross_entropy(
+            torch.tensor(probs[valid]),
+            torch.tensor(edge_labels[valid].astype(np.float32))))
+    else:
+        expected = 0.0
+    np.testing.assert_allclose(float(ours), expected, rtol=1e-4, atol=1e-6)
+
+
+def test_consistency_loss_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    n, e, d = 12, 30, 6
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    probs = rng.uniform(0, 1, e).astype(np.float32)
+    ours = consistency_loss(jnp.asarray(probs), jnp.asarray(s),
+                            jnp.asarray(r), jnp.asarray(emb))
+    temb = torch.tensor(emb)
+    sim = F.cosine_similarity(temb[torch.tensor(s)], temb[torch.tensor(r)],
+                              dim=-1)
+    expected = float(F.mse_loss(torch.tensor(probs), sim))
+    np.testing.assert_allclose(float(ours), expected, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# pipeline smoke tests on a homophilous synthetic graph
+
+
+def _homophilous_graph(rng, n=120, deg=8, f=16, c=3):
+    y = rng.integers(0, c, n)
+    senders, receivers = [], []
+    for i in range(n):
+        same = np.where(y == y[i])[0]
+        diff = np.where(y != y[i])[0]
+        nbr = np.concatenate([rng.choice(same, deg - 2), rng.choice(diff, 2)])
+        senders += [i] * deg
+        receivers += list(nbr)
+    ei = np.stack([np.array(senders), np.array(receivers)]).astype(np.int32)
+    x = (np.eye(c)[y] @ rng.normal(size=(c, f)) +
+         0.5 * rng.normal(size=(n, f))).astype(np.float32)
+    masks = np.zeros((3, n), bool)
+    perm = rng.permutation(n)
+    masks[0, perm[: n // 2]] = True
+    masks[1, perm[n // 2: 3 * n // 4]] = True
+    masks[2, perm[3 * n // 4:]] = True
+    e = ei.shape[1]
+    return Graph.build(x, ei, y, masks[0], masks[1], masks[2],
+                       prob=np.full(e, 1.0 / e), num_classes=c)
+
+
+@pytest.mark.parametrize("pipeline", ["two_pass", "straight_through",
+                                      "hybrid"])
+def test_pipeline_trains(rng, pipeline):
+    g = _homophilous_graph(rng)
+    cfg = Config(pipeline=pipeline, mode="learned", conditional=True,
+                 reg1=True, reg2=True, nhid=32, donate=False)
+    q = int(g.num_edges * 0.3)
+    model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                      cfg.drop_rate, cfg.edge_mlp_type)
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, model, opt, q, max_epoch=30)
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(40):
+        params, opt_state, m = step(params, opt_state, g,
+                                    jnp.asarray(epoch), jax.random.fold_in(key, epoch))
+        losses.append(float(m.loss))
+    assert np.isfinite(losses).all()
+    # the selected loss is noisy (the gate switches between CE-only and
+    # CE+reg branches); the train-F1 trend is the real signal
+    logits = model.apply(params, g.x, g.senders, g.receivers,
+                         deterministic=True)
+    f1 = float(micro_f1(logits, g.y, g.train_mask))
+    assert f1 > 0.7, f1
+
+
+@pytest.mark.parametrize("mode", ["random", "edge", "full"])
+def test_baseline_modes_train(rng, mode):
+    g = _homophilous_graph(rng, n=80)
+    cfg = Config(mode=mode, nhid=16, donate=False)
+    q = int(g.num_edges * 0.3)
+    model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                      cfg.drop_rate, cfg.edge_mlp_type)
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, model, opt, q, max_epoch=20)
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for epoch in range(20):
+        params, opt_state, m = step(params, opt_state, g, jnp.asarray(epoch),
+                                    jax.random.fold_in(key, epoch))
+        losses.append(float(m.loss))
+    assert losses[-1] < losses[0]
+
+
+def test_small_batch_path_uses_full_graph(rng):
+    g = _homophilous_graph(rng, n=40)
+    cfg = Config(mode="learned", pipeline="hybrid", nhid=16, donate=False)
+    q = g.num_edges + 10  # E <= q -> small-batch path
+    model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                      cfg.drop_rate, cfg.edge_mlp_type)
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, model, opt, q, max_epoch=5)
+    p2, s2, m = step(params, opt_state, g, jnp.asarray(0),
+                     jax.random.PRNGKey(3))
+    assert np.isfinite(float(m.loss))
+    assert float(m.conditional_update) == 0.0
+    # edge scorer head must be untouched on this path (fc params not in the
+    # gnn name group)
+    fc_before = params["params"]["edge_prob_mlp"]["head"]["fc2"]["kernel"]
+    fc_after = p2["params"]["edge_prob_mlp"]["head"]["fc2"]["kernel"]
+    np.testing.assert_allclose(np.asarray(fc_before), np.asarray(fc_after))
