@@ -67,11 +67,15 @@ class Graph:
     @staticmethod
     def build(x, edge_index, y, train_mask=None, val_mask=None,
               test_mask=None, prob=None, num_classes: Optional[int] = None,
-              pad_edges_to: Optional[int] = None) -> "Graph":
+              pad_edges_to: Optional[int] = None,
+              pad_edge_node: int = 0) -> "Graph":
         """Construct from host numpy arrays, optionally padding the edge list.
 
-        Padding edges are self-loops on node 0 with ``edge_mask=False`` and
-        zero prior probability, so samplers and aggregations ignore them.
+        Padding edges are self-loops on ``pad_edge_node`` with
+        ``edge_mask=False`` and zero prior probability. Callers that pad
+        should point them at a dedicated ghost node (all-zero features,
+        all masks False) so full-edge forwards through layers that ignore
+        edge weights (GIN/GAT) never mix padding into real aggregations.
         """
         x = np.asarray(x, dtype=np.float32)
         edge_index = np.asarray(edge_index, dtype=np.int32)
@@ -91,7 +95,8 @@ class Graph:
         if pad_edges_to is not None and pad_edges_to > e:
             pad = pad_edges_to - e
             edge_index = np.concatenate(
-                [edge_index, np.zeros((2, pad), dtype=np.int32)], axis=1)
+                [edge_index,
+                 np.full((2, pad), pad_edge_node, dtype=np.int32)], axis=1)
             prob = np.concatenate([prob, np.zeros(pad, dtype=np.float32)])
             edge_mask = np.concatenate([edge_mask, np.zeros(pad, dtype=bool)])
 

@@ -1,0 +1,123 @@
+"""Graph partitioning into cluster mini-batches.
+
+The reference partitions big graphs with METIS via PyG ClusterData /
+ClusterLoader (reference main.py:57-67; vendored copy in
+Notebooks/MetisLoader.ipynb): nodes are split into `num_parts` sets, each
+batch is the induced subgraph on one part with relabeled node ids and
+inter-cluster edges DROPPED (ClusterData keep_inter_cluster_edges=False) —
+partitioned training must reproduce exactly that graph semantics
+(SURVEY.md section 7 "Halo exchange correctness").
+
+This module provides:
+  * locality-aware node partitioning without METIS: reverse-Cuthill-McKee
+    ordering (scipy, C speed) chunked into balanced parts — same contract
+    as ClusterData, different (but comparable-quality) partitioner. A
+    native C++ greedy-refinement partitioner can plug in via
+    `partition_nodes(..., method=...)`.
+  * `induced_subgraphs` — build per-part Graph batches, padded to shared
+    static shapes so ONE jitted train step serves every batch.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..core.graph import Graph
+from .priors import degree_prior
+
+
+def partition_nodes(edge_index: np.ndarray, num_nodes: int, num_parts: int,
+                    method: str = "rcm") -> np.ndarray:
+    """Assign each node to one of num_parts contiguous clusters.
+
+    'rcm'    — bandwidth-reducing reverse-Cuthill-McKee order, chunked.
+    'native' — C++ greedy partitioner (native/partitioner.cpp) if built.
+    'random' — shuffled chunking (worst-case baseline).
+    Returns int32 part id per node.
+    """
+    if num_parts <= 1:
+        return np.zeros(num_nodes, np.int32)
+    if method == "native":
+        try:
+            from .native_partitioner import greedy_partition
+            return greedy_partition(edge_index, num_nodes, num_parts)
+        except (ImportError, OSError):
+            method = "rcm"
+    if method == "rcm":
+        a = sp.coo_matrix((np.ones(edge_index.shape[1]),
+                           (edge_index[0], edge_index[1])),
+                          shape=(num_nodes, num_nodes))
+        a = ((a + a.T) > 0).astype(np.int8).tocsr()
+        order = sp.csgraph.reverse_cuthill_mckee(a, symmetric_mode=True)
+    elif method == "random":
+        order = np.random.default_rng(0).permutation(num_nodes)
+    else:
+        raise ValueError(method)
+    part = np.empty(num_nodes, np.int32)
+    bounds = np.linspace(0, num_nodes, num_parts + 1).astype(np.int64)
+    for p in range(num_parts):
+        part[order[bounds[p]:bounds[p + 1]]] = p
+    return part
+
+
+def induced_subgraphs(x, edge_index, y, train_mask, val_mask, test_mask,
+                      part: np.ndarray, num_parts: int,
+                      pad: bool = True, prior: str = "degree",
+                      prior_probs: Optional[np.ndarray] = None
+                      ) -> List[Graph]:
+    """Materialize one Graph per partition: induced subgraph, relabeled
+    nodes, inter-cluster edges dropped (ClusterData semantics). With
+    pad=True all batches share the max node/edge shape, so the jitted step
+    compiles once. The sampling prior is recomputed per batch from the
+    batch's own edges — matching the reference, whose `batch.prob` is
+    permuted/sliced per cluster by ClusterLoader."""
+    s_all, r_all = edge_index
+    same_part = part[s_all] == part[r_all]
+    out = []
+    # +1 ghost node: padding edges are self-loops on the ghost so they never
+    # touch real nodes, even in layers that ignore edge weights (GIN/GAT)
+    max_n = max(int((part == p).sum()) for p in range(num_parts)) + 1
+    counts_e = []
+    per_part_edges = []
+    for p in range(num_parts):
+        in_p = same_part & (part[s_all] == p)
+        per_part_edges.append(np.where(in_p)[0])
+        counts_e.append(len(per_part_edges[-1]))
+    max_e = max(counts_e)
+
+    for p in range(num_parts):
+        nodes = np.where(part == p)[0]
+        relabel = -np.ones(len(part), np.int64)
+        relabel[nodes] = np.arange(len(nodes))
+        eidx = per_part_edges[p]
+        s = relabel[s_all[eidx]].astype(np.int32)
+        r = relabel[r_all[eidx]].astype(np.int32)
+        n_local, e_local = len(nodes), len(eidx)
+
+        xb = x[nodes]
+        yb = y[nodes]
+        tr, va, te = train_mask[nodes], val_mask[nodes], test_mask[nodes]
+        if prior_probs is not None:
+            pb = prior_probs[eidx]
+            pb = pb / max(pb.sum(), 1e-12)
+        elif prior == "degree":
+            pb = degree_prior(s, r, n_local)
+        else:
+            pb = np.full(e_local, 1.0 / max(e_local, 1), np.float32)
+
+        if pad:
+            pad_n = max_n - n_local
+            xb = np.concatenate([xb, np.zeros((pad_n, x.shape[1]),
+                                              x.dtype)])
+            yb = np.concatenate([yb, np.zeros(pad_n, y.dtype)])
+            tr = np.concatenate([tr, np.zeros(pad_n, bool)])
+            va = np.concatenate([va, np.zeros(pad_n, bool)])
+            te = np.concatenate([te, np.zeros(pad_n, bool)])
+        g = Graph.build(xb, np.stack([s, r]), yb, tr, va, te, prob=pb,
+                        num_classes=int(y.max()) + 1,
+                        pad_edges_to=max_e if pad else None,
+                        pad_edge_node=max_n - 1 if pad else 0)
+        out.append(g)
+    return out

@@ -1,0 +1,203 @@
+"""Dataset registry and preparation pipeline.
+
+Mirrors the reference's data layer (reference datasets.py:43-232 plus the
+Dataset.ipynb `get_data` switch) with the same post-processing contract:
+
+    load -> (optional synthetic rewiring) -> to_undirected -> (SVD feature
+    augmentation for Squirrel/Chameleon/Amazon-ratings/reed98) -> masks
+    (0.2/0.4/0.4 when absent; split column 2 when multi-split) ->
+    num_classes -> edge homophily He -> sampling prior (degree or ER)
+
+Sources, in priority order (this container has zero egress, so the
+downloads the reference relies on are replaced by disk caches):
+  1. synthetic fixtures generated on the fly (Karate, Moon, SyntheticSBM,
+     SyntheticLarge, Reddit0.x rewiring of any cached Reddit)
+  2. `<data_dir>/<name>.npz` — canonical cache: arrays `x`, `edge_index`,
+     `y`, optional `train_mask`/`val_mask`/`test_mask` (1-D or [N, S] with
+     split columns)
+  3. Planetoid raw files under `<data_dir>/<name>/raw/ind.*` (the classic
+     pickled format) for SmallCora/CiteSeer/PubMed
+A missing dataset raises with instructions on where to drop the cache.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.config import Config
+from .priors import degree_prior, er_prior
+from .synthetic import (sbm_graph, moon_graph, karate_club,
+                        rewire_to_homophily, random_masks,
+                        reddit_style_subsample)
+from .transforms import (to_undirected, is_undirected, adj_svd_features,
+                         train_val_test_masks, edge_homophily)
+
+SVD_AUGMENTED = {"Squirrel", "Chameleon", "Amazon-ratings", "reed98"}
+
+
+@dataclasses.dataclass
+class HostDataset:
+    """Host-side numpy graph + metadata, pre-partitioning."""
+    name: str
+    x: np.ndarray
+    edge_index: np.ndarray
+    y: np.ndarray
+    train_mask: np.ndarray
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+    prob: np.ndarray
+    num_classes: int
+    He: float
+
+    @property
+    def num_nodes(self):
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self):
+        return self.edge_index.shape[1]
+
+
+def _load_npz(path: str):
+    z = np.load(path, allow_pickle=False)
+    x = z["x"].astype(np.float32)
+    ei = z["edge_index"].astype(np.int32)
+    y = z["y"].astype(np.int32).reshape(-1)
+    masks = {}
+    for k in ("train_mask", "val_mask", "test_mask"):
+        if k in z:
+            masks[k] = z[k]
+    return x, ei, y, masks
+
+
+def _load_planetoid_raw(root: str, name: str):
+    """Classic Planetoid pickle format (ind.<name>.{x,tx,allx,y,ty,ally,
+    graph,test.index}); replicates PyG's Planetoid assembly."""
+    lname = name.lower()
+    def rd(suffix):
+        p = os.path.join(root, f"ind.{lname}.{suffix}")
+        with open(p, "rb") as f:
+            if suffix == "test.index":
+                return np.array([int(line) for line in f], np.int64)
+            return pickle.load(f, encoding="latin1")
+    x, tx, allx = rd("x"), rd("tx"), rd("allx")
+    y, ty, ally = rd("y"), rd("ty"), rd("ally")
+    graph = rd("graph")
+    test_idx = rd("test.index")
+    test_sorted = np.sort(test_idx)
+    import scipy.sparse as sp
+    feats = sp.vstack([allx, tx]).tolil()
+    feats[test_idx] = feats[test_sorted]
+    labels = np.vstack([ally, ty])
+    labels[test_idx] = labels[test_sorted]
+    yy = labels.argmax(1).astype(np.int32)
+    n = feats.shape[0]
+    src, dst = [], []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            src.append(u); dst.append(v)
+    ei = np.stack([np.array(src, np.int32), np.array(dst, np.int32)])
+    train = np.zeros(n, bool); train[: y.shape[0]] = True
+    val = np.zeros(n, bool); val[y.shape[0]: y.shape[0] + 500] = True
+    test = np.zeros(n, bool); test[test_sorted] = True
+    masks = {"train_mask": train, "val_mask": val, "test_mask": test}
+    return np.asarray(feats.todense(), np.float32), ei, yy, masks
+
+
+def _load_raw(cfg: Config, name: str):
+    """Resolve a dataset name to raw host arrays + mask dict."""
+    ddir = cfg.data_dir
+    if name in ("Karate", "karate"):
+        x, ei, y, (tr, va, te) = karate_club()
+        return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
+    if name == "Moon":
+        x, ei, y, (tr, va, te) = moon_graph(n_samples=1000, degree=4,
+                                            train=0.2, h=0.2, seed=cfg.seed)
+        return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
+    if name == "SyntheticSBM":
+        x, ei, y, (tr, va, te) = sbm_graph(n=2000, num_classes=5, deg=16,
+                                           h=cfg.hn if cfg.syn else 0.7,
+                                           feat_dim=64, seed=cfg.seed)
+        return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
+    if name == "SyntheticLarge":
+        x, ei, y, (tr, va, te) = sbm_graph(n=60000, num_classes=16, deg=40,
+                                           h=0.6, feat_dim=128, seed=cfg.seed)
+        return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
+    if name.startswith("Reddit0."):
+        keep = float(name[len("Reddit"):])
+        x, ei, y, masks = _load_raw(cfg, "Reddit")
+        s, r = reddit_style_subsample(ei[0], ei[1], y, keep, h=0.9,
+                                      seed=cfg.seed)
+        return x, np.stack([s, r]), y, masks
+
+    npz = os.path.join(ddir, f"{name}.npz")
+    if os.path.exists(npz):
+        return _load_npz(npz)
+    raw_dir = os.path.join(ddir, name, "raw")
+    planetoid_name = {"SmallCora": "cora", "CiteSeer": "citeseer",
+                      "PubMed": "pubmed"}.get(name)
+    if planetoid_name and os.path.exists(
+            os.path.join(raw_dir, f"ind.{planetoid_name}.x")):
+        return _load_planetoid_raw(raw_dir, planetoid_name)
+    raise FileNotFoundError(
+        f"Dataset '{name}' not found. This environment has no network "
+        f"access; drop a cache at {npz} with arrays x/(2,E) edge_index/y "
+        f"and optional masks, or Planetoid raw files under {raw_dir}.")
+
+
+def get_dataset(cfg: Config, name: Optional[str] = None) -> HostDataset:
+    """Full preparation pipeline (reference get_dataset,
+    datasets.py:176-232)."""
+    name = name or cfg.dataset
+    x, ei, y, masks = _load_raw(cfg, name)
+    n = x.shape[0]
+
+    if cfg.syn and name not in ("SyntheticSBM", "SyntheticLarge"):
+        # synthetic rewiring of a real graph to target degree/homophily
+        # (reference datasets.py:183-187 -> Dataset.ipynb generate_synthetic)
+        rng = np.random.default_rng(0)
+        ei = rewire_to_homophily(y, cfg.degree, cfg.hn, rng)
+        val = (1 - cfg.train) / 2.0
+        tr, va, te = random_masks(n, cfg.train, val, rng)
+        masks = {"train_mask": tr, "val_mask": va, "test_mask": te}
+
+    if not is_undirected(ei, n):
+        ei = to_undirected(ei)
+
+    if name in SVD_AUGMENTED:
+        x = np.concatenate([x, adj_svd_features(ei, n, x.shape[1])], axis=1)
+
+    # mask resolution (reference datasets.py:199-219): generate 0.2/0.4/0.4
+    # when absent; pick split column 2 of multi-split mask matrices;
+    # 'wiki' always re-splits
+    if name == "wiki" or "val_mask" not in masks:
+        tr, va, te = train_val_test_masks(n, 0.2, 0.4, 0.4)
+        masks = {"train_mask": tr, "val_mask": va, "test_mask": te}
+    else:
+        def pick(m):
+            m = np.asarray(m)
+            if m.ndim > 1:
+                col = 2 if m.shape[1] > 2 else 0
+                return m[:, col].astype(bool)
+            return m.astype(bool)
+        masks = {k: pick(v) for k, v in masks.items()}
+
+    num_classes = int(y.max()) + 1
+    he = edge_homophily(ei, y)
+
+    if cfg.ER:
+        prob = er_prior(ei[0], ei[1], n, cache_dir=cfg.data_dir,
+                        dataset_name=name, recompute=cfg.ERcompute)
+    else:
+        prob = degree_prior(ei[0], ei[1], n)
+
+    return HostDataset(name=name, x=x, edge_index=ei, y=y,
+                       train_mask=masks["train_mask"],
+                       val_mask=masks["val_mask"],
+                       test_mask=masks["test_mask"],
+                       prob=prob, num_classes=num_classes, He=he)

@@ -26,7 +26,7 @@ from ..sparsify.sampling import sample_edges, sample_prior_edges, random_edges
 from ..train.losses import micro_f1
 
 
-def make_eval_step(cfg: Config, model, q: int):
+def make_eval_step(cfg: Config, model, q: int, force_small: bool = False):
     mode = cfg.mode
     n_draws = cfg.num_samples_eval
 
@@ -36,7 +36,7 @@ def make_eval_step(cfg: Config, model, q: int):
         def forward(s, r, w):
             return model.apply(params, g.x, s, r, w, deterministic=True)
 
-        if mode == "full" or e <= q:
+        if mode == "full" or force_small or e <= q:
             logits = forward(g.senders, g.receivers, None)
         elif mode == "learned":
             # deterministic scorer -> score once; full-graph propagation

@@ -1,0 +1,264 @@
+"""Experiment driver — the equivalent of the reference's main.py run loop.
+
+Replicates (reference main.py:16-321):
+  * partition decision: E >= metis_threshold -> num_parts = ceil(E/threshold),
+    q = threshold * sample_perc; else q = E * sample_perc (main.py:41-54)
+  * cluster batches shuffled every epoch (ClusterLoader(shuffle=True))
+  * per-run model + dual-optimizer init; epoch loop with timing
+  * ensemble eval per epoch; best-val checkpoint (+ its temperature)
+  * convergence early-stop: std(last 5 losses) < cfg.convergence
+  * final reload of the best params + ensemble eval; [stats] line; CSV sink
+  * multi-run mean +/- std summary
+
+TPU-native deltas: params checkpoint via flax serialization instead of
+torch.save; per-batch steps are pre-compiled jitted functions (one for the
+sampled path, one for the small-batch full path) chosen on host by each
+batch's valid edge count — the jit-friendly version of the reference's
+dynamic `batch.edge_index.shape[1] > q` branch.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..core.graph import Graph
+from ..data.registry import get_dataset, HostDataset
+from ..data.partition import partition_nodes, induced_subgraphs
+from ..models import get_model, init_params
+from ..train import DualOptimizer, make_train_step
+from ..eval import make_eval_step, aggregate_eval
+
+
+@dataclass
+class RunResult:
+    best_val_f1: float = 0.0
+    best_test_f1: float = 0.0          # best test seen during training
+    test_at_best_val: float = 0.0
+    final_test_f1: float = 0.0         # after reloading best-val params
+    final_train_f1: float = 0.0
+    final_val_f1: float = 0.0
+    train_time_sec: float = 0.0
+    mean_epoch_time: float = 0.0
+    num_iterations: int = 0
+    conditional_updates: int = 0
+    total_updates: int = 0
+    losses: List[float] = field(default_factory=list)
+    train_curve: List[float] = field(default_factory=list)
+    val_curve: List[float] = field(default_factory=list)
+    test_curve: List[float] = field(default_factory=list)
+
+
+def prepare_batches(cfg: Config, ds: HostDataset):
+    """Partition decision + batch materialization (main.py:41-67)."""
+    e = ds.num_edges
+    use_partition = e >= cfg.metis_threshold
+    if use_partition:
+        num_parts = cfg.num_partitions or int(np.ceil(e / cfg.metis_threshold))
+        q = int(cfg.metis_threshold * cfg.sample_perc)
+        part = partition_nodes(ds.edge_index, ds.num_nodes, num_parts,
+                               method="native")
+        batches = induced_subgraphs(ds.x, ds.edge_index, ds.y, ds.train_mask,
+                                    ds.val_mask, ds.test_mask, part,
+                                    num_parts)
+    else:
+        q = int(e * cfg.sample_perc)
+        batches = [Graph.build(ds.x, ds.edge_index, ds.y, ds.train_mask,
+                               ds.val_mask, ds.test_mask, prob=ds.prob,
+                               num_classes=ds.num_classes)]
+    return batches, q
+
+
+def _valid_edges(g: Graph) -> int:
+    return int(np.asarray(jnp.sum(g.edge_mask)))
+
+
+def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
+                   log_fn=print) -> List[RunResult]:
+    cfg.validate()
+    if ds is None:
+        ds = get_dataset(cfg)
+    batches, q = prepare_batches(cfg, ds)
+    n_batches = len(batches)
+    valid_e = [_valid_edges(g) for g in batches]
+    has_train = [bool(np.asarray(g.train_mask).any()) for g in batches]
+    if cfg.log:
+        log_fn(f"dataset={ds.name} N={ds.num_nodes} E={ds.num_edges} "
+               f"He={ds.He:.4f} parts={n_batches} q={q}")
+
+    model = get_model(cfg.GNN, batches[0].x.shape[1], cfg.nhid,
+                      ds.num_classes, cfg.drop_rate, cfg.edge_mlp_type,
+                      heads=cfg.gat_heads)
+    results: List[RunResult] = []
+    root_key = jax.random.PRNGKey(cfg.seed)
+
+    for run in range(cfg.runs):
+        run_key = jax.random.fold_in(root_key, run)
+        g0 = batches[0]
+        params = init_params(model, jax.random.fold_in(run_key, 0),
+                             g0.x, g0.senders, g0.receivers)
+        opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+        opt_state = opt.init(params)
+        step_big = make_train_step(cfg, model, opt, q, cfg.epochs)
+        step_small = make_train_step(cfg, model, opt, q, cfg.epochs,
+                                     force_small=True)
+        ev_big = make_eval_step(cfg, model, q)
+        ev_small = make_eval_step(cfg, model, q, force_small=True)
+
+        res = RunResult()
+        best_params_bytes = None
+        best_temp = 0.0
+        epoch_times: List[float] = []
+        shuffle_rng = np.random.default_rng(cfg.seed + run)
+        num_iteration = cfg.epochs
+
+        from flax import serialization
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            order = shuffle_rng.permutation(n_batches)
+            total_loss, temp = 0.0, 1.0
+            for bi in order:
+                if not has_train[bi]:
+                    continue
+                res.total_updates += 1
+                step = step_big if valid_e[bi] > q else step_small
+                params, opt_state, m = step(
+                    params, opt_state, batches[bi], jnp.asarray(epoch),
+                    jax.random.fold_in(run_key, epoch * n_batches + int(bi) + 1))
+                total_loss += float(m.loss)
+                temp = float(m.temperature)
+                res.conditional_updates += int(m.conditional_update)
+            # reference divides by len(cluster_loader) incl. skipped batches
+            loss = total_loss / n_batches
+            res.losses.append(loss)
+            epoch_times.append(time.time() - t0)
+
+            if cfg.eval:
+                ev_res = []
+                for bi in range(n_batches):
+                    ev = ev_big if valid_e[bi] > q else ev_small
+                    ev_res.append(ev(params, batches[bi],
+                                     jax.random.fold_in(run_key, 2**30 + epoch),
+                                     jnp.asarray(temp)))
+                agg = aggregate_eval(ev_res)
+                tr_f1, va_f1, te_f1 = (agg["train_f1"], agg["val_f1"],
+                                       agg["test_f1"])
+                res.train_curve.append(tr_f1)
+                res.val_curve.append(va_f1)
+                res.test_curve.append(te_f1)
+                if va_f1 >= res.best_val_f1:
+                    res.best_val_f1 = va_f1
+                    res.test_at_best_val = te_f1
+                    best_params_bytes = serialization.to_bytes(params)
+                    best_temp = temp
+                    if cfg.log:
+                        log_fn(f"*Epoch {epoch}, model saved with Loss: "
+                               f"{loss:.4f}, Train F1: {tr_f1:.4f}, Val F1: "
+                               f"{va_f1:.4f}, Test F1: {te_f1:.4f}")
+                res.best_test_f1 = max(res.best_test_f1, te_f1)
+                if cfg.log and epoch % 100 == 0:
+                    log_fn(f"Epoch {epoch}, Loss: {loss:.4f}, Train F1: "
+                           f"{tr_f1:.4f}, Val F1: {va_f1:.4f}, Test F1: "
+                           f"{te_f1:.4f}")
+
+            if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
+                num_iteration = epoch + 1
+                break
+
+        res.num_iterations = num_iteration
+        res.train_time_sec = float(np.sum(epoch_times))
+        res.mean_epoch_time = float(np.mean(epoch_times)) if epoch_times else 0.0
+
+        # reload best params for the final ensemble eval (main.py:264-270)
+        if best_params_bytes is not None:
+            params = serialization.from_bytes(params, best_params_bytes)
+        ev_res = []
+        for bi in range(n_batches):
+            ev = ev_big if valid_e[bi] > q else ev_small
+            ev_res.append(ev(params, batches[bi],
+                             jax.random.fold_in(run_key, 2**31 - 1),
+                             jnp.asarray(best_temp)))
+        agg = aggregate_eval(ev_res)
+        res.final_train_f1 = agg["train_f1"]
+        res.final_val_f1 = agg["val_f1"]
+        res.final_test_f1 = agg["test_f1"]
+
+        log_fn(f"Run: {run}")
+        log_fn(f"Mean epoch time of run {res.mean_epoch_time:.4f}")
+        log_fn(f"Iteration:  {res.num_iterations}")
+        log_fn(f"EdgeMLP updated {res.conditional_updates}/{res.total_updates}")
+        log_fn(f"Best Test F1 throughout: {res.best_test_f1:.4f}")
+        log_fn(f"Best Test F1 after loading saved model: "
+               f"{res.final_test_f1:.4f}")
+        if cfg.stats:
+            mem = _device_peak_mem_mb()
+            mem_s = f"{mem:.2f}" if mem is not None else "NA"
+            log_fn(f"[stats] pipeline={cfg.pipeline} run={run} "
+                   f"train_time_sec={res.train_time_sec:.4f} "
+                   f"peak_device_mem_mb={mem_s} "
+                   f"best_val_f1={res.final_val_f1:.4f} "
+                   f"best_test_f1={res.final_test_f1:.4f}")
+        if cfg.save_csv:
+            _append_csv(cfg, ds, run, res)
+        results.append(res)
+
+    _summary(cfg, results, log_fn)
+    return results
+
+
+def _device_peak_mem_mb() -> Optional[float]:
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / (1024 ** 2)
+    except Exception:
+        pass
+    return None
+
+
+def _append_csv(cfg: Config, ds: HostDataset, run: int, res: RunResult):
+    """Results/<dataset>/<sample_perc>.csv append (main.py:295-306)."""
+    d = os.path.join(cfg.results_dir, ds.name)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{cfg.sample_perc}.csv")
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(["run", "iter", "he", "mode", "loss", "train_f1",
+                        "val_f1", "test_f1"])
+        w.writerow([run, res.num_iterations, ds.He, cfg.mode,
+                    res.losses[-1] if res.losses else 0.0,
+                    res.final_train_f1, res.final_val_f1, res.final_test_f1])
+
+
+def _summary(cfg: Config, results: List[RunResult], log_fn):
+    log_fn("---------------Stats-----------")
+    log_fn(f"Mean training epoch runtime: "
+           f"{np.mean([r.mean_epoch_time for r in results]):.4f}")
+    its = [r.num_iterations for r in results]
+    log_fn(f"Mean convergence number: {np.mean(its):.4f} +/- "
+           f"{np.std(its):.4f}, {its}")
+    if cfg.mode == "learned":
+        log_fn(f"EdgeMLP updated/Total GNN updates "
+               f"{np.round(np.mean([r.conditional_updates for r in results]))}"
+               f"/{np.round(np.mean([r.total_updates for r in results]))}")
+    bt = [r.best_test_f1 for r in results]
+    tv = [r.test_at_best_val for r in results]
+    ft = [r.final_test_f1 for r in results]
+    log_fn(f"Mean Std of Best Test we could do F1 Score: {np.mean(bt):.4f} "
+           f"+/- {np.std(bt):.4f}")
+    log_fn(f"Mean Std of Test at best Val F1 Score: {np.mean(tv):.4f} +/- "
+           f"{np.std(tv):.4f}")
+    log_fn(f"Mean Std of Loaded best Val model Test F1 Score: "
+           f"{np.mean(ft):.4f} +/- {np.std(ft):.4f}")
+    log_fn("-------------------------------")

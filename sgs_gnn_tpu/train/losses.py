@@ -48,7 +48,13 @@ def assortative_bce(edge_probs, sampled_senders, sampled_receivers, y,
     both_train = train_mask[sampled_senders] & train_mask[sampled_receivers]
     same = (y[sampled_senders] == y[sampled_receivers])
     labels = same.astype(edge_probs.dtype)
-    p = jnp.clip(edge_probs, _LOG_EPS, 1.0 - _LOG_EPS)
+    # torch.binary_cross_entropy clamps log terms so a sigmoid saturated to
+    # exactly 0/1 in f32 stays finite. Clip p itself so every intermediate
+    # (value AND derivative) is finite — an inf anywhere would leak NaN
+    # through the conditional gate's 0-cotangent jnp.where branch. Bounds:
+    # log(1e-38) ~ -87.5 (near torch's -100 clamp); 1 - 1e-7 is the largest
+    # f32 strictly below 1.
+    p = jnp.clip(edge_probs, 1e-38, 1.0 - 1e-7)
     bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
     valid = both_train.astype(edge_probs.dtype)
     mean_bce = jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
@@ -66,7 +72,13 @@ def consistency_loss(edge_probs, sampled_senders, sampled_receivers,
     src = node_embeddings[sampled_senders]
     dst = node_embeddings[sampled_receivers]
     num = jnp.sum(src * dst, axis=-1)
-    denom = jnp.maximum(jnp.linalg.norm(src, axis=-1), 1e-8) * \
-        jnp.maximum(jnp.linalg.norm(dst, axis=-1), 1e-8)
+
+    def safe_norm(v):
+        # sqrt has an infinite derivative at 0; clamp the squared norm so an
+        # exactly-zero embedding keeps finite gradients
+        return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-16))
+
+    denom = jnp.maximum(safe_norm(src), 1e-8) * \
+        jnp.maximum(safe_norm(dst), 1e-8)
     cos = num / denom
     return jnp.mean((edge_probs - cos) ** 2)

@@ -59,34 +59,17 @@ def _score(model, params, x, prop_s, prop_r, score_s, score_r, key,
                        method="score_edges")
 
 
-def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
-                    max_epoch: int):
-    """Build the jitted per-batch train step for cfg.{mode,pipeline}.
+def make_learned_loss(cfg: Config, model, q: int):
+    """Factory for the learned-mode differentiable loss of one batch.
 
-    Returned signature:
-        step(params, opt_state, graph, epoch, key)
-            -> (params, opt_state, StepMetrics)
-    The E<=q decision is made at trace time from the graph's static edge
-    count (reference training_hybrid.py:41), so padded partitions of equal
-    shape share one executable.
+    Returns ``loss_fn(params, g, key) -> (total_loss, (gate, lf1, rf1))``
+    shared by the single-chip step and the partition-parallel shard_map step
+    (parallel/partitioned.py). All pipeline-specific edge-probability
+    plumbing lives here; see the module docstring for the three variants.
     """
-    mode, pipeline = cfg.mode, cfg.pipeline
+    pipeline = cfg.pipeline
 
-    def learned_step(params, opt_state, g: Graph, epoch, key):
-        e = g.num_edges
-        if e <= q:
-            # small-batch path: full graph, CE only, gnn optimizer only
-            # (reference training_hybrid.py:142-147)
-            def loss_fn(p):
-                out = _apply_gnn(model, p, g.x, g.senders, g.receivers,
-                                 None, key)
-                return masked_cross_entropy(out, g.y, g.train_mask)
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            params2, opt_state2 = opt.step_gnn_only(params, grads, opt_state)
-            t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
-            return params2, opt_state2, StepMetrics(loss, t, jnp.zeros(()),
-                                                    jnp.zeros(()), jnp.zeros(()))
-
+    def loss_fn(p, g: Graph, key):
         k_rand, k_sample, k_s1, k_s2, k_g1, k_g2 = jax.random.split(key, 6)
         use_rand = cfg.conditional or cfg.sparse_edge_mlp
         if use_rand:
@@ -100,75 +83,106 @@ def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
             rand_r = g.receivers[rand_idx]
             prop_s, prop_r = rand_s, rand_r
         else:
+            rand_s = rand_r = None
             prop_s, prop_r = g.senders, g.receivers
 
+        if pipeline == "two_pass":
+            # pass 1 (no grad) on the full edge set
+            probs_full = jax.lax.stop_gradient(_score(
+                model, p, g.x, prop_s, prop_r, g.senders, g.receivers, k_s1))
+            idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
+                                  cfg.degree_bias_coef, edge_mask=g.edge_mask)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+            # pass 3: grad-enabled re-score of only the sampled edges; the
+            # scorer's encoder propagates on the sampled subgraph
+            # (training_two_pass.py:75-77 passes sampled_edge_index as the
+            # graph)
+            weights = _score(model, p, g.x, s_s, s_r, s_s, s_r, k_s2)
+            probs_for_loss = weights
+        elif pipeline == "straight_through":
+            probs_full = _score(model, p, g.x, prop_s, prop_r,
+                                g.senders, g.receivers, k_s1)
+            idx, weights = sample_edges(k_sample, probs_full, g.prob, q,
+                                        cfg.degree_bias_coef,
+                                        edge_mask=g.edge_mask)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+            probs_for_loss = weights
+        elif pipeline == "hybrid":
+            probs_full = _score(model, p, g.x, prop_s, prop_r,
+                                g.senders, g.receivers, k_s1,
+                                use_remat=cfg.hybrid_checkpoint)
+            idx, _ = sample_edges(
+                k_sample, jax.lax.stop_gradient(probs_full), g.prob, q,
+                cfg.degree_bias_coef, edge_mask=g.edge_mask)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+            # hybrid's trick: differentiable weights are a gather of the
+            # SAME tensor used for sampling (training_hybrid.py:86)
+            weights = probs_full[idx]
+            probs_for_loss = weights
+        else:
+            raise ValueError(pipeline)
+
+        learned_out = _apply_gnn(model, p, g.x, s_s, s_r, weights, k_g1)
+        loss = masked_cross_entropy(learned_out, g.y, g.train_mask)
+        if cfg.reg1:
+            loss = loss + cfg.regularizer1_coef * assortative_bce(
+                probs_for_loss, s_s, s_r, g.y, g.train_mask)
+        if cfg.reg2:
+            loss = loss + cfg.consist_reg_coef * consistency_loss(
+                probs_for_loss, s_s, s_r, learned_out)
+
+        if cfg.conditional:
+            random_out = _apply_gnn(model, p, g.x, rand_s, rand_r, None, k_g2)
+            lf1 = micro_f1(learned_out, g.y, g.train_mask)
+            rf1 = micro_f1(random_out, g.y, g.train_mask)
+            gate = jax.lax.stop_gradient(lf1 > rf1)
+            loss_random = masked_cross_entropy(random_out, g.y, g.train_mask)
+            total = jnp.where(gate, loss, loss_random)
+        else:
+            gate = jnp.asarray(True)
+            lf1 = rf1 = jnp.zeros(())
+            total = loss
+        return total, (gate, lf1, rf1)
+
+    return loss_fn
+
+
+def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
+                    max_epoch: int, force_small: bool = False):
+    """Build the jitted per-batch train step for cfg.{mode,pipeline}.
+
+    Returned signature:
+        step(params, opt_state, graph, epoch, key)
+            -> (params, opt_state, StepMetrics)
+    The E<=q decision is made at trace time from the graph's static edge
+    count (reference training_hybrid.py:41), so padded partitions of equal
+    shape share one executable. For padded cluster batches the static edge
+    count is the padded maximum; the driver passes ``force_small=True`` to
+    compile the full-graph path for batches whose VALID edge count is <= q
+    (the reference's dynamic per-batch decision, made on host).
+    """
+    mode = cfg.mode
+    learned_loss = make_learned_loss(cfg, model, q) if mode == "learned" \
+        else None
+
+    def learned_step(params, opt_state, g: Graph, epoch, key):
+        e = g.num_edges
+        if force_small or e <= q:
+            # small-batch path: full graph, CE only, gnn optimizer only
+            # (reference training_hybrid.py:142-147)
+            def loss_fn(p):
+                out = _apply_gnn(model, p, g.x, g.senders, g.receivers,
+                                 None, key)
+                return masked_cross_entropy(out, g.y, g.train_mask)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params2, opt_state2 = opt.step_gnn_only(params, grads, opt_state)
+            t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
+            return params2, opt_state2, StepMetrics(loss, t, jnp.zeros(()),
+                                                    jnp.zeros(()), jnp.zeros(()))
+
         t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
-
-        def loss_fn(p):
-            if pipeline == "two_pass":
-                # pass 1 (no grad) on the full edge set
-                probs_full = jax.lax.stop_gradient(_score(
-                    model, p, g.x, prop_s, prop_r, g.senders, g.receivers,
-                    k_s1))
-                idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
-                                      cfg.degree_bias_coef,
-                                      edge_mask=g.edge_mask)
-                s_s, s_r = g.senders[idx], g.receivers[idx]
-                # pass 3: grad-enabled re-score of only the sampled edges;
-                # the scorer's encoder propagates on the sampled subgraph
-                # (training_two_pass.py:75-77 passes sampled_edge_index as
-                # the graph)
-                weights = _score(model, p, g.x, s_s, s_r, s_s, s_r, k_s2)
-                probs_for_loss = weights
-            elif pipeline == "straight_through":
-                probs_full = _score(model, p, g.x, prop_s, prop_r,
-                                    g.senders, g.receivers, k_s1)
-                idx, weights = sample_edges(k_sample, probs_full, g.prob, q,
-                                            cfg.degree_bias_coef,
-                                            edge_mask=g.edge_mask)
-                s_s, s_r = g.senders[idx], g.receivers[idx]
-                probs_for_loss = weights
-            elif pipeline == "hybrid":
-                probs_full = _score(model, p, g.x, prop_s, prop_r,
-                                    g.senders, g.receivers, k_s1,
-                                    use_remat=cfg.hybrid_checkpoint)
-                idx, _ = sample_edges(
-                    k_sample, jax.lax.stop_gradient(probs_full), g.prob, q,
-                    cfg.degree_bias_coef, edge_mask=g.edge_mask)
-                s_s, s_r = g.senders[idx], g.receivers[idx]
-                # hybrid's trick: differentiable weights are a gather of the
-                # SAME tensor used for sampling (training_hybrid.py:86)
-                weights = probs_full[idx]
-                probs_for_loss = weights
-            else:
-                raise ValueError(pipeline)
-
-            learned_out = _apply_gnn(model, p, g.x, s_s, s_r, weights, k_g1)
-            loss = masked_cross_entropy(learned_out, g.y, g.train_mask)
-            if cfg.reg1:
-                loss = loss + cfg.regularizer1_coef * assortative_bce(
-                    probs_for_loss, s_s, s_r, g.y, g.train_mask)
-            if cfg.reg2:
-                loss = loss + cfg.consist_reg_coef * consistency_loss(
-                    probs_for_loss, s_s, s_r, learned_out)
-
-            if cfg.conditional:
-                random_out = _apply_gnn(model, p, g.x, rand_s, rand_r,
-                                        None, k_g2)
-                lf1 = micro_f1(learned_out, g.y, g.train_mask)
-                rf1 = micro_f1(random_out, g.y, g.train_mask)
-                gate = jax.lax.stop_gradient(lf1 > rf1)
-                loss_random = masked_cross_entropy(random_out, g.y,
-                                                   g.train_mask)
-                total = jnp.where(gate, loss, loss_random)
-            else:
-                gate = jnp.asarray(True)
-                lf1 = rf1 = jnp.zeros(())
-                total = loss
-            return total, (gate, lf1, rf1)
-
         (loss, (gate, lf1, rf1)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            learned_loss, has_aux=True)(params, g, key)
         params2, opt_state2 = opt.step_learned(params, grads, opt_state, gate)
         return params2, opt_state2, StepMetrics(
             loss, t, gate.astype(jnp.float32), lf1, rf1)
@@ -179,7 +193,7 @@ def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
         optimizer with weight decay."""
         e = g.num_edges
         k_sel, k_drop = jax.random.split(key)
-        if mode == "full" or e <= q:
+        if mode == "full" or force_small or e <= q:
             s_s, s_r = g.senders, g.receivers
         elif mode == "random":
             idx = random_edges(k_sel, e, q, edge_mask=g.edge_mask)

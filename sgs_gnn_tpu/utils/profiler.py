@@ -1,0 +1,106 @@
+"""Segment profiler — TPU-native equivalent of the reference's
+GpuMemoryProfiler (reference utils.py:13-79; printed main.py:171-207).
+
+The reference brackets four named segments (edge_mlp_pre, edge_score,
+gnn_forward, backward) with cuda.synchronize + max_memory_allocated deltas.
+Under XLA those segments fuse into one executable, so per-segment memory
+deltas are measured by running the segment's computation stand-alone
+(`profile_segments`), and live memory comes from the PJRT allocator stats
+(`device_memory_mb`). Wall timing uses data-dependent host readbacks, which
+are the only reliable sync points through remote-tunnel backends.
+
+For deep dives, `trace` wraps jax.profiler for TensorBoard-viewable traces.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_memory_mb(device=None) -> Optional[Dict[str, float]]:
+    """Current/peak device memory from PJRT allocator stats (the analogue of
+    torch.cuda.memory_allocated / max_memory_allocated)."""
+    dev = device or jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    out = {}
+    for k_src, k_dst in (("bytes_in_use", "allocated_mb"),
+                         ("peak_bytes_in_use", "peak_mb"),
+                         ("bytes_limit", "limit_mb")):
+        if k_src in stats:
+            out[k_dst] = stats[k_src] / (1024 ** 2)
+    return out or None
+
+
+def timed(fn: Callable, *args, iters: int = 5, warmup: int = 1) -> float:
+    """Wall-time a jitted function with forced host readback of a scalar
+    derived from its output (sum of first leaf). Returns seconds/iter."""
+    def scalarize(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return jnp.sum(leaves[0]) if leaves else jnp.zeros(())
+
+    probe = jax.jit(lambda *a: scalarize(fn(*a)))
+    for _ in range(warmup):
+        float(probe(*args))
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(iters):
+        acc += float(probe(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+class SegmentTimer:
+    """Named-segment wall timer with the reference's four segment names as
+    conventions; aggregates like GpuMemoryProfiler.summarize_epoch."""
+
+    SEGMENTS = ("edge_mlp_pre", "edge_score", "gnn_forward", "backward")
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._records: Dict[str, list] = {}
+
+    def record(self, name: str, seconds: float):
+        if self.enabled:
+            self._records.setdefault(name, []).append(seconds)
+
+    def time_segment(self, name: str, fn: Callable, *args, iters: int = 3):
+        if not self.enabled:
+            return None
+        dt = timed(fn, *args, iters=iters)
+        self.record(name, dt)
+        return dt
+
+    def summarize(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, rows in self._records.items():
+            out[name] = {
+                "mean_ms": float(np.mean(rows)) * 1e3,
+                "max_ms": float(np.max(rows)) * 1e3,
+                "calls": len(rows),
+            }
+        return out
+
+    def report(self, prefix: str = "[profile]", log_fn=print):
+        s = self.summarize()
+        parts = [f"{n}: mean_ms={v['mean_ms']:.2f} max_ms={v['max_ms']:.2f} "
+                 f"calls={v['calls']}" for n, v in s.items()]
+        log_fn(f"{prefix} " + " | ".join(parts))
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/jax-trace"):
+    """jax.profiler trace context for TensorBoard."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

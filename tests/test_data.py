@@ -1,0 +1,138 @@
+"""Data layer: priors, transforms, synthetic generators, partitioning."""
+import numpy as np
+import pytest
+
+from sgs_gnn_tpu.core import Config
+from sgs_gnn_tpu.data import (degree_prior, effective_resistance_exact,
+                              effective_resistance_rw, sbm_graph, moon_graph,
+                              karate_club, to_undirected, edge_homophily,
+                              train_val_test_masks, partition_nodes,
+                              induced_subgraphs, get_dataset,
+                              rewire_to_homophily)
+
+
+def test_degree_prior_normalized_and_inverse_degree(rng):
+    # undirected star + one leaf-leaf edge: for undirected graphs the
+    # formula reduces to 1/(deg[s]+deg[r]); hub edges get LOWER probability
+    n = 11
+    hub_s = np.concatenate([np.zeros(n - 1), np.arange(1, n)])
+    hub_r = np.concatenate([np.arange(1, n), np.zeros(n - 1)])
+    extra_s, extra_r = np.array([1, 2]), np.array([2, 1])
+    ss = np.concatenate([hub_s, extra_s]).astype(np.int32)
+    rr = np.concatenate([hub_r, extra_r]).astype(np.int32)
+    p = degree_prior(ss, rr, n)
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+    assert p[-1] > p[0]  # leaf-leaf edge more probable than hub edge
+
+
+def test_er_exact_path_graph():
+    # path graph 0-1-2: ER of each unit edge is 1, end-to-end would be 2
+    s = np.array([0, 1, 1, 2], np.int32)
+    r = np.array([1, 0, 2, 1], np.int32)
+    er = effective_resistance_exact(s, r, 3)
+    np.testing.assert_allclose(er, 1.0, atol=1e-6)
+
+
+def test_er_rw_correlates_with_exact(rng):
+    # ER estimator should rank a bridge edge above in-cluster edges
+    x, ei, y, _ = sbm_graph(n=60, num_classes=2, deg=8, h=0.95, seed=1)
+    ei = to_undirected(ei)
+    exact = effective_resistance_exact(ei[0], ei[1], 60)
+    est = effective_resistance_rw(ei[0], ei[1], 60, seed=0)
+    # positive rank correlation
+    from scipy.stats import spearmanr
+    rho, _ = spearmanr(exact, est)
+    assert rho > 0.3, rho
+
+
+def test_to_undirected_coalesces():
+    ei = np.array([[0, 1, 0], [1, 0, 1]], np.int32)  # dup edge 0->1
+    und = to_undirected(ei)
+    assert und.shape[1] == 2  # {0->1, 1->0}
+    pairs = set(map(tuple, und.T.tolist()))
+    assert pairs == {(0, 1), (1, 0)}
+
+
+def test_rewire_hits_target_homophily(rng):
+    y = rng.integers(0, 4, 500).astype(np.int32)
+    for h in (0.1, 0.5, 0.9):
+        ei = rewire_to_homophily(y, 20, h, rng)
+        he = edge_homophily(ei, y)
+        assert abs(he - h) < 0.1, (h, he)
+
+
+def test_masks_deterministic_and_disjoint():
+    tr1, va1, te1 = train_val_test_masks(100, 0.2, 0.4, 0.4)
+    tr2, va2, te2 = train_val_test_masks(100, 0.2, 0.4, 0.4)
+    np.testing.assert_array_equal(tr1, tr2)
+    assert tr1.sum() == 20 and va1.sum() == 40 and te1.sum() == 40
+    assert not (tr1 & va1).any() and not (va1 & te1).any()
+
+
+def test_karate_and_moon_fixtures():
+    x, ei, y, (tr, va, te) = karate_club()
+    assert x.shape == (34, 34) and ei.shape[1] == 156
+    assert tr.sum() == 4
+    x, ei, y, (tr, va, te) = moon_graph(200, 6, 0.3, seed=0)
+    assert x.shape == (200, 2)
+    he = edge_homophily(ei, y)
+    assert he < 0.7  # low-homophily fixture
+
+
+def test_partition_preserves_intra_edges_and_pads(rng):
+    x, ei, y, (tr, va, te) = sbm_graph(n=300, num_classes=3, deg=10, h=0.8,
+                                       seed=0)
+    ei = to_undirected(ei)
+    part = partition_nodes(ei, 300, 4)
+    assert part.shape == (300,) and set(part) == {0, 1, 2, 3}
+    graphs = induced_subgraphs(x, ei, y, tr, va, te, part, 4)
+    # all batches share static shapes
+    shapes = {(g.num_nodes, g.num_edges) for g in graphs}
+    assert len(shapes) == 1
+    # total valid edges == intra-partition edges
+    same = part[ei[0]] == part[ei[1]]
+    total_valid = sum(int(np.asarray(g.edge_mask).sum()) for g in graphs)
+    assert total_valid == int(same.sum())
+    # node coverage: total valid (unpadded) nodes = 300
+    # ghost node: padded edges are self-loops on the last node, masks False
+    for g in graphs:
+        em = np.asarray(g.edge_mask)
+        if (~em).any():
+            s = np.asarray(g.senders)[~em]
+            assert (s == g.num_nodes - 1).all()
+        assert not bool(np.asarray(g.train_mask)[-1])
+
+
+def test_registry_synthetic_and_missing(tmp_path):
+    cfg = Config(data_dir=str(tmp_path))
+    ds = get_dataset(cfg, "SyntheticSBM")
+    assert ds.num_nodes == 2000 and ds.num_classes == 5
+    assert abs(ds.prob.sum() - 1.0) < 1e-4
+    assert 0.0 < ds.He < 1.0
+    # undirected after prep
+    pairs = set(map(tuple, ds.edge_index.T.tolist()))
+    assert all((b, a) in pairs for a, b in list(pairs)[:50])
+
+    with pytest.raises(FileNotFoundError, match="no network"):
+        get_dataset(cfg, "Reddit")
+
+
+def test_registry_npz_roundtrip(tmp_path):
+    x, ei, y, (tr, va, te) = sbm_graph(n=100, num_classes=3, deg=6, seed=2)
+    np.savez(tmp_path / "Tolokers.npz", x=x, edge_index=ei, y=y,
+             train_mask=tr, val_mask=va, test_mask=te)
+    cfg = Config(data_dir=str(tmp_path))
+    ds = get_dataset(cfg, "Tolokers")
+    assert ds.num_nodes == 100
+    assert ds.train_mask.sum() == tr.sum()
+
+
+def test_registry_multisplit_mask_column(tmp_path):
+    x, ei, y, (tr, va, te) = sbm_graph(n=50, num_classes=2, deg=4, seed=3)
+    multi = np.stack([tr, va, te], axis=1)  # [N, 3] split matrix
+    np.savez(tmp_path / "Roman-empire.npz", x=x, edge_index=ei, y=y,
+             train_mask=multi, val_mask=multi, test_mask=multi)
+    cfg = Config(data_dir=str(tmp_path))
+    ds = get_dataset(cfg, "Roman-empire")
+    # column 2 selected (reference datasets.py:211-216)
+    np.testing.assert_array_equal(ds.train_mask, te)

@@ -1,0 +1,103 @@
+"""Partition-parallel training on an 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgs_gnn_tpu.core import Config
+from sgs_gnn_tpu.data import (sbm_graph, to_undirected, partition_nodes,
+                              induced_subgraphs)
+from sgs_gnn_tpu.models import get_model, init_params
+from sgs_gnn_tpu.train import DualOptimizer, micro_f1
+from sgs_gnn_tpu.parallel import (make_mesh, stack_batches,
+                                  make_parallel_train_step,
+                                  make_parallel_eval_step, device_count)
+from sgs_gnn_tpu.eval import aggregate_eval
+
+
+def _partitioned_fixture(n_parts):
+    x, ei, y, (tr, va, te) = sbm_graph(n=400, num_classes=4, deg=12, h=0.8,
+                                       seed=0)
+    ei = to_undirected(ei)
+    part = partition_nodes(ei, 400, n_parts)
+    graphs = induced_subgraphs(x, ei, y, tr, va, te, part, n_parts)
+    return graphs, x.shape[1], int(y.max()) + 1
+
+
+def test_virtual_mesh_has_8_devices():
+    assert device_count() == 8
+
+
+def test_parallel_step_trains_and_improves():
+    n_dev = 8
+    graphs, f, c = _partitioned_fixture(n_dev)
+    mesh = make_mesh(n_dev)
+    cfg = Config(pipeline="hybrid", mode="learned", nhid=32, donate=False,
+                 num_samples_eval=3)
+    q = max(int(min(int(np.asarray(g.edge_mask).sum()) for g in graphs) * 0.5),
+            8)
+    model = get_model(cfg.GNN, f, cfg.nhid, c, cfg.drop_rate,
+                      cfg.edge_mlp_type)
+    g0 = graphs[0]
+    params = init_params(model, jax.random.PRNGKey(0), g0.x, g0.senders,
+                         g0.receivers)
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    step = make_parallel_train_step(cfg, model, opt, q, 30, mesh)
+    stacked = stack_batches(graphs)
+
+    key = jax.random.PRNGKey(1)
+    for epoch in range(30):
+        params, opt_state, m = step(params, opt_state, stacked,
+                                    jnp.asarray(epoch),
+                                    jax.random.fold_in(key, epoch))
+    assert np.isfinite(float(m.loss))
+
+    ev = make_parallel_eval_step(cfg, model, q, mesh)
+    res = ev(params, stacked, jax.random.PRNGKey(2), jnp.asarray(0.5))
+    agg = aggregate_eval([res])
+    assert agg["train_f1"] > 0.5, agg
+
+
+def test_parallel_matches_sequential_gradients():
+    """One parallel super-step with gates forced on must equal the average
+    of per-partition gradients: check via identical loss值 after one step
+    with conditional off (gate always true on every shard)."""
+    n_dev = 4
+    graphs, f, c = _partitioned_fixture(n_dev)
+    mesh = make_mesh(n_dev)
+    cfg = Config(pipeline="hybrid", mode="learned", conditional=False,
+                 reg1=False, reg2=False, drop_rate=0.0, nhid=16,
+                 donate=False)
+    q = 64
+    model = get_model(cfg.GNN, f, cfg.nhid, c, 0.0, cfg.edge_mlp_type)
+    g0 = graphs[0]
+    params = init_params(model, jax.random.PRNGKey(0), g0.x, g0.senders,
+                         g0.receivers)
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+
+    # parallel: one step on the mesh
+    step = make_parallel_train_step(cfg, model, opt, q, 10, mesh)
+    p_par, _, m = step(params, opt.init(params), stack_batches(graphs),
+                       jnp.asarray(0), jax.random.PRNGKey(7))
+
+    # manual: average per-partition grads computed with the same per-shard
+    # keys, single dual-Adam step
+    from sgs_gnn_tpu.train.pipelines import make_learned_loss
+    loss_fn = make_learned_loss(cfg, model, q)
+    key = jax.random.PRNGKey(7)
+    grads_acc = None
+    for i, g in enumerate(graphs):
+        (_, _), gr = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, g, jax.random.fold_in(key, i))
+        grads_acc = gr if grads_acc is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, grads_acc, gr)
+    grads_avg = jax.tree_util.tree_map(lambda a: a / n_dev, grads_acc)
+    p_seq, _ = opt.step_learned(params, grads_avg, opt.init(params),
+                                jnp.asarray(True))
+
+    flat_par = jax.tree_util.tree_leaves(p_par)
+    flat_seq = jax.tree_util.tree_leaves(p_seq)
+    for a, b in zip(flat_par, flat_seq):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
