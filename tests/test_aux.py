@@ -1,0 +1,108 @@
+"""Aux subsystems: checkpoint/resume, viz, profiler, scripts, CLI parsing."""
+import os
+import subprocess
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sgs_gnn_tpu.core import Config
+from sgs_gnn_tpu.models import get_model, init_params
+from sgs_gnn_tpu.train import DualOptimizer
+from sgs_gnn_tpu.run.checkpoint import (TrainState, save_checkpoint,
+                                        load_checkpoint)
+from sgs_gnn_tpu.run.cli import config_from_args
+from test_train import _homophilous_graph
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    g = _homophilous_graph(rng, n=30)
+    model = get_model("GCN", g.x.shape[1], 8, g.num_classes, 0.3, "MLP")
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    opt = DualOptimizer.create(params, "GCN", 1e-3, 5e-4)
+    st = opt.init(params)
+    state = TrainState(params=params, opt_state=st, epoch=7,
+                       best_val_f1=0.5, best_temperature=0.63,
+                       losses=[1.0, 0.9])
+    path = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, params, st)
+    assert restored.epoch == 7 and restored.best_temperature == 0.63
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert load_checkpoint(str(tmp_path / "missing.pkl"), params, st) is None
+
+
+def test_viz_smoke(tmp_path, rng):
+    from sgs_gnn_tpu.viz import (plot_learning_curves, plot_probs, plot_hist,
+                                 visualize_graphs_side_by_side, reduce_2d,
+                                 plot_embeddings_2d,
+                                 count_edges_with_different_labels)
+    g = _homophilous_graph(rng, n=40)
+    y = np.asarray(g.y)
+    p1 = plot_learning_curves(0, [0.1, 0.5], [0.1, 0.4], [0.1, 0.3],
+                              path=str(tmp_path / "curves.png"))
+    assert os.path.getsize(p1) > 0
+    probs = rng.uniform(0, 1, g.num_edges)
+    p2 = plot_probs(probs, probs / probs.sum(), path=str(tmp_path / "p.png"))
+    p3 = plot_hist(probs, probs, probs[:10], probs[:10],
+                   path=str(tmp_path / "h.png"))
+    ei = np.asarray(g.edge_index)
+    p4 = visualize_graphs_side_by_side(ei, ei[:, :50], y,
+                                       path=str(tmp_path / "g.png"))
+    for p in (p2, p3, p4):
+        assert os.path.getsize(p) > 0
+    emb2 = reduce_2d(rng.normal(size=(40, 16)), "pca")
+    assert emb2.shape == (40, 2)
+    p5 = plot_embeddings_2d(emb2, y, path=str(tmp_path / "e.png"))
+    assert os.path.getsize(p5) > 0
+    het = count_edges_with_different_labels(ei[0], ei[1], y)
+    assert 0.0 <= het["heterophily"] <= 1.0
+
+
+def test_extract_embeddings(rng):
+    from sgs_gnn_tpu.viz import extract_embeddings
+    g = _homophilous_graph(rng, n=25)
+    model = get_model("GCN", g.x.shape[1], 12, g.num_classes, 0.3, "MLP")
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    emb = extract_embeddings(model, params, g)
+    assert emb.shape == (25, 12)
+    logits = extract_embeddings(model, params, g, layer="logits")
+    assert logits.shape == (25, g.num_classes)
+
+
+def test_profiler_segment_timer():
+    from sgs_gnn_tpu.utils import SegmentTimer, timed, device_memory_mb
+    t = SegmentTimer()
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((64, 64))
+    dt = t.time_segment("gnn_forward", f, x, iters=2)
+    assert dt > 0
+    s = t.summarize()
+    assert "gnn_forward" in s and s["gnn_forward"]["calls"] == 1
+    lines = []
+    t.report(log_fn=lines.append)
+    assert "gnn_forward" in lines[0]
+
+
+def test_cli_config_parsing():
+    cfg = config_from_args(["--dataset", "Karate", "--pipeline", "hybrid",
+                            "--reg1", "false", "--nhid", "64",
+                            "--sample_perc", "0.5"])
+    assert cfg.dataset == "Karate" and cfg.pipeline == "hybrid"
+    assert cfg.reg1 is False and cfg.nhid == 64 and cfg.sample_perc == 0.5
+    # unknown args tolerated (parse_known_args, like the reference)
+    cfg2 = config_from_args(["--dataset", "Karate", "--bogus", "1"])
+    assert cfg2.dataset == "Karate"
+
+
+def test_scripts_are_wellformed():
+    import glob
+    scripts = glob.glob("Scripts/*.sh")
+    assert len(scripts) >= 9
+    for s in scripts:
+        r = subprocess.run(["bash", "-n", s], capture_output=True)
+        assert r.returncode == 0, (s, r.stderr)
