@@ -53,16 +53,17 @@ def main():
     q = 200_000  # metis_threshold 1M * sample_perc 0.2 (reference main.py:50)
     cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
                  sparse_edge_mlp=True, reg1=True, reg2=True,
-                 hybrid_checkpoint=True, nhid=256)
+                 hybrid_checkpoint=True, nhid=256, dtype="bfloat16",
+                 prng_impl="rbg")
     model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
-                      cfg.drop_rate, cfg.edge_mlp_type)
+                      cfg.drop_rate, cfg.edge_mlp_type, dtype=cfg.dtype)
     params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
                          g.receivers)
     opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
     opt_state = opt.init(params)
     step = make_train_step(cfg, model, opt, q, max_epoch=10)
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl=cfg.prng_impl)
     # warmup / compile; the float() readback forces real execution (remote
     # TPU tunnels dispatch asynchronously and block_until_ready may return
     # before queued work drains — a data-dependent host readback cannot)

@@ -80,6 +80,7 @@ class Config:
     data_dir: str = './Dataset'
     results_dir: str = './Results'
     dtype: str = 'float32'        # compute dtype for backbones
+    prng_impl: str = 'threefry2x32'  # 'rbg' = fast TPU PRNG for big runs
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True

@@ -10,7 +10,7 @@ dual-optimizer scheme partitions parameters by name substring
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -27,10 +27,11 @@ class _Backbone(nn.Module):
     dropout_prob: float = 0.3
     edge_mlp_type: str = "MLP"
     heads: int = 1
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.edge_prob_mlp = get_edge_mlp(self.hidden_dim, self.dropout_prob,
-                                          self.edge_mlp_type)
+                                          self.edge_mlp_type, self.dtype)
         self._setup_backbone()
 
     def _setup_backbone(self):
@@ -49,8 +50,8 @@ class GNNModel(_Backbone):
     weights (the sampled probabilities) which enter the sym normalization."""
 
     def _setup_backbone(self):
-        self.gcn1 = GCNConv(self.hidden_dim)
-        self.gcn2 = GCNConv(self.num_classes)
+        self.gcn1 = GCNConv(self.hidden_dim, dtype=self.dtype)
+        self.gcn2 = GCNConv(self.num_classes, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
@@ -65,8 +66,10 @@ class GINModel(_Backbone):
     edge_weight (BasicGNN supports_edge_weight=False); kept for parity."""
 
     def _setup_backbone(self):
-        self.GIN_conv1 = GINConv(self.hidden_dim, self.hidden_dim)
-        self.GIN_conv2 = GINConv(self.hidden_dim, self.num_classes)
+        self.GIN_conv1 = GINConv(self.hidden_dim, self.hidden_dim,
+                                 dtype=self.dtype)
+        self.GIN_conv2 = GINConv(self.hidden_dim, self.num_classes,
+                                 dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
@@ -83,8 +86,9 @@ class GATModel(_Backbone):
 
     def _setup_backbone(self):
         self.GAT_conv1 = GATConv(self.hidden_dim, heads=self.heads,
-                                 concat=True)
-        self.GAT_conv2 = GATConv(self.num_classes, heads=1, concat=False)
+                                 concat=True, dtype=self.dtype)
+        self.GAT_conv2 = GATConv(self.num_classes, heads=1, concat=False,
+                                 dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
@@ -98,8 +102,8 @@ class ChebModel(_Backbone):
     """2-layer ChebConv K=1 sym (reference model.py:211-230)."""
 
     def _setup_backbone(self):
-        self.gcn1 = ChebConv(self.hidden_dim, K=1)
-        self.gcn2 = ChebConv(self.num_classes, K=1)
+        self.gcn1 = ChebConv(self.hidden_dim, K=1, dtype=self.dtype)
+        self.gcn2 = ChebConv(self.num_classes, K=1, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
@@ -123,12 +127,15 @@ def init_params(model: "_Backbone", key, x, senders, receivers):
 
 def get_model(gnn: str, in_channels: int, hidden_dim: int, num_classes: int,
               dropout_prob: float = 0.3, edge_mlp_type: str = "MLP",
-              heads: int = 1) -> _Backbone:
-    """Backbone factory (reference main.py:98-111)."""
+              heads: int = 1, dtype=jnp.float32) -> _Backbone:
+    """Backbone factory (reference main.py:98-111). ``dtype`` is the compute
+    dtype for matmuls (bf16 recommended on TPU); params stay float32."""
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
     cls = {"GCN": GNNModel, "GIN": GINModel, "GAT": GATModel,
            "Cheb": ChebModel}.get(gnn)
     if cls is None:
         raise NotImplementedError(gnn)
     return cls(in_channels=in_channels, hidden_dim=hidden_dim,
                num_classes=num_classes, dropout_prob=dropout_prob,
-               edge_mlp_type=edge_mlp_type, heads=heads)
+               edge_mlp_type=edge_mlp_type, heads=heads, dtype=dtype)

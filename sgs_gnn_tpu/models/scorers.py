@@ -28,6 +28,8 @@ variant has no propagation step, this framework always scores the requested
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -37,16 +39,22 @@ from .layers import GCNConv, SAGEConv
 
 class _ScoreHead(nn.Module):
     """fc1 -> ReLU -> dropout -> fc2 -> sigmoid over [h_u*h_v || h_u-h_v]
-    (reference model.py:29-34)."""
+    (reference model.py:29-34). Matmuls in `dtype`; the sigmoid output is
+    cast to float32 for the samplers/losses."""
     hidden_dim: int
     dropout_prob: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hu, hv, deterministic: bool):
+        hu = hu.astype(self.dtype)
+        hv = hv.astype(self.dtype)
         feats = jnp.concatenate([hu * hv, hu - hv], axis=-1)
-        z = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(feats))
+        z = nn.relu(nn.Dense(self.hidden_dim, name="fc1",
+                             dtype=self.dtype)(feats))
         z = nn.Dropout(self.dropout_prob, deterministic=deterministic)(z)
-        return nn.sigmoid(nn.Dense(1, name="fc2")(z))
+        logit = nn.Dense(1, name="fc2", dtype=self.dtype)(z)
+        return nn.sigmoid(logit.astype(jnp.float32))
 
 
 def _maybe_remat(fn, use_remat: bool):
@@ -58,16 +66,18 @@ class EdgeProbMLP(nn.Module):
     (reference model.py:8-45)."""
     hidden_dim: int
     dropout_prob: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,
                  use_remat: bool = False):
-        proj = nn.Dense(self.hidden_dim, name="fcdim")
+        proj = nn.Dense(self.hidden_dim, name="fcdim", dtype=self.dtype)
         drop = nn.Dropout(self.dropout_prob, deterministic=deterministic)
         hu = drop(nn.relu(proj(x[score_senders])))
         hv = drop(nn.relu(proj(x[score_receivers])))
-        head = _ScoreHead(self.hidden_dim, self.dropout_prob, name="head")
+        head = _ScoreHead(self.hidden_dim, self.dropout_prob,
+                          dtype=self.dtype, name="head")
 
         def score(hu_, hv_):
             return head(hu_, hv_, deterministic)
@@ -80,14 +90,17 @@ class EdgeProbSAGE(nn.Module):
     """1-layer GraphSAGE encoder + score head (reference model.py:47-89)."""
     hidden_dim: int
     dropout_prob: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,
                  use_remat: bool = False):
-        h = SAGEConv(self.hidden_dim, name="gcn1")(x, prop_senders, prop_receivers)
+        h = SAGEConv(self.hidden_dim, dtype=self.dtype,
+                     name="gcn1")(x, prop_senders, prop_receivers)
         h = nn.Dropout(self.dropout_prob, deterministic=deterministic)(nn.relu(h))
-        head = _ScoreHead(self.hidden_dim, self.dropout_prob, name="head")
+        head = _ScoreHead(self.hidden_dim, self.dropout_prob,
+                          dtype=self.dtype, name="head")
 
         def score(h_):
             return head(h_[score_senders], h_[score_receivers], deterministic)
@@ -101,16 +114,19 @@ class EdgeProbGCN(nn.Module):
     (`--edge_mlp_type GCN`, reference parser.py:63; model.py:91-133)."""
     hidden_dim: int
     dropout_prob: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,
                  use_remat: bool = False):
-        h = GCNConv(self.hidden_dim, name="gcn1")(x, prop_senders, prop_receivers)
+        h = GCNConv(self.hidden_dim, dtype=self.dtype,
+                    name="gcn1")(x, prop_senders, prop_receivers)
         h = nn.Dropout(self.dropout_prob, deterministic=deterministic)(nn.relu(h))
-        h = nn.relu(GCNConv(self.hidden_dim, name="gcn2")(h, prop_senders,
-                                                          prop_receivers))
-        head = _ScoreHead(self.hidden_dim, self.dropout_prob, name="head")
+        h = nn.relu(GCNConv(self.hidden_dim, dtype=self.dtype,
+                            name="gcn2")(h, prop_senders, prop_receivers))
+        head = _ScoreHead(self.hidden_dim, self.dropout_prob,
+                          dtype=self.dtype, name="head")
 
         def score(h_):
             return head(h_[score_senders], h_[score_receivers], deterministic)
@@ -120,12 +136,16 @@ class EdgeProbGCN(nn.Module):
 
 
 def get_edge_mlp(hidden_dim: int, dropout_prob: float,
-                 edge_mlp_type: str = "MLP") -> nn.Module:
+                 edge_mlp_type: str = "MLP",
+                 dtype: Any = jnp.float32) -> nn.Module:
     """Scorer factory (reference model.py:135-145)."""
     if edge_mlp_type == "MLP":
-        return EdgeProbMLP(hidden_dim, dropout_prob, name="edge_prob_mlp")
+        return EdgeProbMLP(hidden_dim, dropout_prob, dtype,
+                           name="edge_prob_mlp")
     if edge_mlp_type == "GSAGE":
-        return EdgeProbSAGE(hidden_dim, dropout_prob, name="edge_prob_mlp")
+        return EdgeProbSAGE(hidden_dim, dropout_prob, dtype,
+                            name="edge_prob_mlp")
     if edge_mlp_type == "GCN":
-        return EdgeProbGCN(hidden_dim, dropout_prob, name="edge_prob_mlp")
+        return EdgeProbGCN(hidden_dim, dropout_prob, dtype,
+                           name="edge_prob_mlp")
     raise NotImplementedError(edge_mlp_type)

@@ -29,8 +29,12 @@ def _spmm_core(num_nodes, senders, receivers, weights, x):
 
 
 def _spmm_fwd_impl(num_nodes, senders, receivers, weights, x):
-    msgs = x[senders] * weights[:, None].astype(x.dtype)
-    return jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes)
+    # gather in x's (possibly bf16) dtype to halve HBM read traffic, but
+    # accumulate the segment reduction in float32 — bf16 accumulation over
+    # high-degree nodes loses ~sqrt(deg) * 2^-8 relative accuracy
+    msgs = x[senders].astype(jnp.float32) * weights[:, None].astype(jnp.float32)
+    out = jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes)
+    return out.astype(x.dtype)
 
 
 def _spmm_fwd(num_nodes, senders, receivers, weights, x):

@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--results_dir', type=str, default=d.results_dir)
     p.add_argument('--gat_heads', type=int, default=d.gat_heads)
     p.add_argument('--num_partitions', type=int, default=d.num_partitions)
+    p.add_argument('--dtype', type=str, default=d.dtype,
+                   choices=['float32', 'bfloat16'])
+    p.add_argument('--prng_impl', type=str, default=d.prng_impl,
+                   choices=['threefry2x32', 'rbg'])
+    p.add_argument('--platform', type=str, default='',
+                   help="force a JAX platform (e.g. 'cpu') before any "
+                        "computation; empty = environment default")
     return p
 
 
@@ -99,6 +106,10 @@ def config_from_args(argv=None) -> Config:
 
 
 def main(argv=None):
+    args, _ = build_parser().parse_known_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     cfg = config_from_args(argv)
     print(cfg.dataset)
     from .driver import run_experiment

@@ -95,14 +95,21 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
 
     model = get_model(cfg.GNN, batches[0].x.shape[1], cfg.nhid,
                       ds.num_classes, cfg.drop_rate, cfg.edge_mlp_type,
-                      heads=cfg.gat_heads)
+                      heads=cfg.gat_heads, dtype=cfg.dtype)
     results: List[RunResult] = []
-    root_key = jax.random.PRNGKey(cfg.seed)
+    # 'rbg' is the fast TPU-native PRNG; threefry (default) is slower but
+    # bitwise-stable across backends — tests use threefry, big runs rbg
+    root_key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
 
     for run in range(cfg.runs):
-        run_key = jax.random.fold_in(root_key, run)
+        run_key = jax.random.fold_in(root_key, run + 1)
         g0 = batches[0]
-        params = init_params(model, jax.random.fold_in(run_key, 0),
+        # parameter init always uses threefry: rbg keys have duplicated
+        # 64-bit halves and fold_in chains can produce structured draws that
+        # poison training (observed: anti-predictive models). rbg is only
+        # for per-step noise (dropout masks, gumbel sampling), where speed
+        # matters and stream quality is uncritical.
+        params = init_params(model, jax.random.PRNGKey(cfg.seed * 1000 + run),
                              g0.x, g0.senders, g0.receivers)
         opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
         opt_state = opt.init(params)
