@@ -54,7 +54,7 @@ def main():
     cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
                  sparse_edge_mlp=True, reg1=True, reg2=True,
                  hybrid_checkpoint=True, nhid=256, dtype="bfloat16",
-                 prng_impl="rbg")
+                 prng_impl="rbg", approx_topk=True)
     model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
                       cfg.drop_rate, cfg.edge_mlp_type, dtype=cfg.dtype)
     params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,

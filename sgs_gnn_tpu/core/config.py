@@ -81,6 +81,7 @@ class Config:
     results_dir: str = './Results'
     dtype: str = 'float32'        # compute dtype for backbones
     prng_impl: str = 'threefry2x32'  # 'rbg' = fast TPU PRNG for big runs
+    approx_topk: bool = False     # approx_max_k sampling (~5x faster at 1M)
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True

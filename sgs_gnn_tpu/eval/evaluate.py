@@ -49,20 +49,23 @@ def make_eval_step(cfg: Config, model, q: int, force_small: bool = False):
             def draw(k):
                 idx, w = sample_edges(k, probs, g.prob, q,
                                       cfg.degree_bias_coef, istest=True,
-                                      edge_mask=g.edge_mask)
+                                      edge_mask=g.edge_mask,
+                                      approx=cfg.approx_topk)
                 return forward(g.senders[idx], g.receivers[idx], w)
 
             logits = jnp.mean(
                 jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)
         elif mode == "random":
             def draw(k):
-                idx = random_edges(k, e, q, edge_mask=g.edge_mask)
+                idx = random_edges(k, e, q, edge_mask=g.edge_mask,
+                                   approx=cfg.approx_topk)
                 return forward(g.senders[idx], g.receivers[idx], None)
             logits = jnp.mean(
                 jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)
         elif mode == "edge":
             def draw(k):
-                idx = sample_prior_edges(k, g.prob, q, edge_mask=g.edge_mask)
+                idx = sample_prior_edges(k, g.prob, q, edge_mask=g.edge_mask,
+                                         approx=cfg.approx_topk)
                 return forward(g.senders[idx], g.receivers[idx], None)
             logits = jnp.mean(
                 jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)

@@ -92,6 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=['float32', 'bfloat16'])
     p.add_argument('--prng_impl', type=str, default=d.prng_impl,
                    choices=['threefry2x32', 'rbg'])
+    p.add_argument('--approx_topk', type=str2bool, nargs='?', const=True,
+                   default=d.approx_topk)
     p.add_argument('--platform', type=str, default='',
                    help="force a JAX platform (e.g. 'cpu') before any "
                         "computation; empty = environment default")

@@ -148,6 +148,21 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             res.losses.append(loss)
             epoch_times.append(time.time() - t0)
 
+            if cfg.gpu_profile:
+                # per-epoch profile line — the analogue of the reference's
+                # [gpu-profile] output (main.py:171-207). Under XLA the four
+                # reference segments fuse into one executable, so we report
+                # the epoch step time plus live/peak device memory from the
+                # PJRT allocator.
+                from ..utils.profiler import device_memory_mb
+                mem = device_memory_mb()
+                mem_s = (f"allocated_mb={mem.get('allocated_mb', 0):.1f} "
+                         f"peak_mb={mem.get('peak_mb', 0):.1f}"
+                         if mem else "mem=n/a")
+                log_fn(f"[gpu-profile] epoch={epoch} "
+                       f"step_time_ms={epoch_times[-1]/max(len(order),1)*1e3:.2f} "
+                       f"batches={len(order)} {mem_s}")
+
             if cfg.eval:
                 ev_res = []
                 for bi in range(n_batches):

@@ -78,7 +78,8 @@ def make_learned_loss(cfg: Config, model, q: int):
             # (reference training_hybrid.py:45-57: random_sampled_edge_index
             # is passed to edge_prob_mlp whenever conditional or
             # sparse_edge_mlp is on)
-            rand_idx = sample_prior_edges(k_rand, g.prob, q, g.edge_mask)
+            rand_idx = sample_prior_edges(k_rand, g.prob, q, g.edge_mask,
+                                          approx=cfg.approx_topk)
             rand_s = g.senders[rand_idx]
             rand_r = g.receivers[rand_idx]
             prop_s, prop_r = rand_s, rand_r
@@ -91,7 +92,8 @@ def make_learned_loss(cfg: Config, model, q: int):
             probs_full = jax.lax.stop_gradient(_score(
                 model, p, g.x, prop_s, prop_r, g.senders, g.receivers, k_s1))
             idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
-                                  cfg.degree_bias_coef, edge_mask=g.edge_mask)
+                                  cfg.degree_bias_coef, edge_mask=g.edge_mask,
+                                  approx=cfg.approx_topk)
             s_s, s_r = g.senders[idx], g.receivers[idx]
             # pass 3: grad-enabled re-score of only the sampled edges; the
             # scorer's encoder propagates on the sampled subgraph
@@ -104,7 +106,8 @@ def make_learned_loss(cfg: Config, model, q: int):
                                 g.senders, g.receivers, k_s1)
             idx, weights = sample_edges(k_sample, probs_full, g.prob, q,
                                         cfg.degree_bias_coef,
-                                        edge_mask=g.edge_mask)
+                                        edge_mask=g.edge_mask,
+                                        approx=cfg.approx_topk)
             s_s, s_r = g.senders[idx], g.receivers[idx]
             probs_for_loss = weights
         elif pipeline == "hybrid":
@@ -113,7 +116,8 @@ def make_learned_loss(cfg: Config, model, q: int):
                                 use_remat=cfg.hybrid_checkpoint)
             idx, _ = sample_edges(
                 k_sample, jax.lax.stop_gradient(probs_full), g.prob, q,
-                cfg.degree_bias_coef, edge_mask=g.edge_mask)
+                cfg.degree_bias_coef, edge_mask=g.edge_mask,
+                approx=cfg.approx_topk)
             s_s, s_r = g.senders[idx], g.receivers[idx]
             # hybrid's trick: differentiable weights are a gather of the
             # SAME tensor used for sampling (training_hybrid.py:86)
@@ -196,10 +200,12 @@ def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
         if mode == "full" or force_small or e <= q:
             s_s, s_r = g.senders, g.receivers
         elif mode == "random":
-            idx = random_edges(k_sel, e, q, edge_mask=g.edge_mask)
+            idx = random_edges(k_sel, e, q, edge_mask=g.edge_mask,
+                               approx=cfg.approx_topk)
             s_s, s_r = g.senders[idx], g.receivers[idx]
         elif mode == "edge":
-            idx = sample_prior_edges(k_sel, g.prob, q, edge_mask=g.edge_mask)
+            idx = sample_prior_edges(k_sel, g.prob, q, edge_mask=g.edge_mask,
+                                     approx=cfg.approx_topk)
             s_s, s_r = g.senders[idx], g.receivers[idx]
         else:
             raise ValueError(mode)

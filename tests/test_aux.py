@@ -106,3 +106,45 @@ def test_scripts_are_wellformed():
     for s in scripts:
         r = subprocess.run(["bash", "-n", s], capture_output=True)
         assert r.returncode == 0, (s, r.stderr)
+
+
+def test_serve_sparsify_and_predict(rng):
+    from sgs_gnn_tpu.run.serve import make_sparsifier, make_predictor
+    g = _homophilous_graph(rng, n=60)
+    cfg = Config(num_samples_eval=3)
+    q = g.num_edges // 4
+    model = get_model("GCN", g.x.shape[1], 16, g.num_classes, 0.3, "GCN")
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    sp = make_sparsifier(cfg, model, q)(params, g, jax.random.PRNGKey(1))
+    assert sp.senders.shape == (q,) and sp.probs.shape == (g.num_edges,)
+    # kept-edge weights equal the learned prob at the kept ids
+    np.testing.assert_allclose(np.asarray(sp.weights),
+                               np.asarray(sp.probs)[np.asarray(sp.edge_ids)],
+                               rtol=1e-6)
+    logits, labels = make_predictor(cfg, model, q)(params, g,
+                                                   jax.random.PRNGKey(2))
+    assert logits.shape == (60, g.num_classes) and labels.shape == (60,)
+
+
+def test_approx_topk_sampling_close_to_exact(rng):
+    """approx_max_k sampling must keep marginal inclusion frequencies close
+    to exact Gumbel-top-k."""
+    from sgs_gnn_tpu.sparsify import sample_edges
+    import jax.numpy as jnp
+    e, q = 1000, 100
+    probs = jnp.asarray(rng.uniform(0.01, 1.0, e).astype(np.float32))
+    prior = jnp.full((e,), 1.0 / e)
+    counts_exact = np.zeros(e)
+    counts_approx = np.zeros(e)
+    for i in range(200):
+        k = jax.random.PRNGKey(i)
+        ie, _ = sample_edges(k, probs, prior, q, 0.3)
+        ia, _ = sample_edges(k, probs, prior, q, 0.3, approx=True)
+        counts_exact[np.asarray(ie)] += 1
+        counts_approx[np.asarray(ia)] += 1
+    # aggregate inclusion frequency of the top-decile edges should agree
+    top = np.argsort(-np.asarray(probs))[:100]
+    fe = counts_exact[top].mean() / 200
+    fa = counts_approx[top].mean() / 200
+    assert abs(fe - fa) < 0.05, (fe, fa)
