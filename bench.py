@@ -53,7 +53,9 @@ def main():
     q = 200_000  # metis_threshold 1M * sample_perc 0.2 (reference main.py:50)
     cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
                  sparse_edge_mlp=True, reg1=True, reg2=True,
-                 hybrid_checkpoint=True, nhid=256, dtype="bfloat16",
+                 hybrid_checkpoint=False,  # remat is a memory knob; the v5e has
+                 # the HBM headroom, so skip the backward recompute
+                 nhid=256, dtype="bfloat16",
                  prng_impl="rbg", approx_topk=True)
     model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
                       cfg.drop_rate, cfg.edge_mlp_type, dtype=cfg.dtype)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import GCNConv, SAGEConv
+from ..ops.edge_gather import gather_rows
 
 
 class _ScoreHead(nn.Module):
@@ -74,8 +75,8 @@ class EdgeProbMLP(nn.Module):
                  use_remat: bool = False):
         proj = nn.Dense(self.hidden_dim, name="fcdim", dtype=self.dtype)
         drop = nn.Dropout(self.dropout_prob, deterministic=deterministic)
-        hu = drop(nn.relu(proj(x[score_senders])))
-        hv = drop(nn.relu(proj(x[score_receivers])))
+        hu = drop(nn.relu(proj(gather_rows(x, score_senders))))
+        hv = drop(nn.relu(proj(gather_rows(x, score_receivers))))
         head = _ScoreHead(self.hidden_dim, self.dropout_prob,
                           dtype=self.dtype, name="head")
 
@@ -103,7 +104,8 @@ class EdgeProbSAGE(nn.Module):
                           dtype=self.dtype, name="head")
 
         def score(h_):
-            return head(h_[score_senders], h_[score_receivers], deterministic)
+            return head(gather_rows(h_, score_senders),
+                        gather_rows(h_, score_receivers), deterministic)
 
         prob = _maybe_remat(score, use_remat)(h)
         return prob.squeeze(-1)
@@ -129,7 +131,8 @@ class EdgeProbGCN(nn.Module):
                           dtype=self.dtype, name="head")
 
         def score(h_):
-            return head(h_[score_senders], h_[score_receivers], deterministic)
+            return head(gather_rows(h_, score_senders),
+                        gather_rows(h_, score_receivers), deterministic)
 
         prob = _maybe_remat(score, use_remat)(h)
         return prob.squeeze(-1)
