@@ -82,6 +82,9 @@ class Config:
     dtype: str = 'float32'        # compute dtype for backbones
     prng_impl: str = 'threefry2x32'  # 'rbg' = fast TPU PRNG for big runs
     approx_topk: bool = False     # approx_max_k sampling (~5x faster at 1M)
+    checkpoint_every: int = 0     # save full train state every N epochs
+    resume: bool = False          # resume from the latest checkpoint
+    debug_checks: bool = False    # validate graph batches at prep time
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True

@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=['threefry2x32', 'rbg'])
     p.add_argument('--approx_topk', type=str2bool, nargs='?', const=True,
                    default=d.approx_topk)
+    p.add_argument('--checkpoint_every', type=int, default=d.checkpoint_every)
+    p.add_argument('--resume', type=str2bool, nargs='?', const=True,
+                   default=d.resume)
+    p.add_argument('--debug_checks', type=str2bool, nargs='?', const=True,
+                   default=d.debug_checks)
     p.add_argument('--platform', type=str, default='',
                    help="force a JAX platform (e.g. 'cpu') before any "
                         "computation; empty = environment default")

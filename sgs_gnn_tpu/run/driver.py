@@ -86,6 +86,10 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     if ds is None:
         ds = get_dataset(cfg)
     batches, q = prepare_batches(cfg, ds)
+    if cfg.debug_checks:
+        from ..utils.debug import validate_graph
+        for i, b in enumerate(batches):
+            validate_graph(b, name=f"batch{i}")
     n_batches = len(batches)
     valid_e = [_valid_edges(g) for g in batches]
     has_train = [bool(np.asarray(g.train_mask).any()) for g in batches]
@@ -125,10 +129,29 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         epoch_times: List[float] = []
         shuffle_rng = np.random.default_rng(cfg.seed + run)
         num_iteration = cfg.epochs
+        start_epoch = 0
 
         from flax import serialization
+        from .checkpoint import TrainState, save_checkpoint, load_checkpoint
 
-        for epoch in range(cfg.epochs):
+        ckpt_path = os.path.join(
+            cfg.results_dir, "ckpt",
+            f"{cfg.dataset}_{cfg.mode}_{cfg.pipeline}_run{run}.pkl")
+        if cfg.resume:
+            st = load_checkpoint(ckpt_path, params, opt_state)
+            if st is not None:
+                params, opt_state = st.params, st.opt_state
+                start_epoch = st.epoch + 1
+                res.best_val_f1 = st.best_val_f1
+                res.test_at_best_val = st.test_at_best_val
+                best_temp = st.best_temperature
+                res.losses = list(st.losses)
+                best_params_bytes = serialization.to_bytes(params)
+                if cfg.log:
+                    log_fn(f"resumed run {run} from epoch {start_epoch} "
+                           f"(best_val_f1={st.best_val_f1:.4f})")
+
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             order = shuffle_rng.permutation(n_batches)
             total_loss, temp = 0.0, 1.0
@@ -190,6 +213,13 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                     log_fn(f"Epoch {epoch}, Loss: {loss:.4f}, Train F1: "
                            f"{tr_f1:.4f}, Val F1: {va_f1:.4f}, Test F1: "
                            f"{te_f1:.4f}")
+
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                save_checkpoint(ckpt_path, TrainState(
+                    params=params, opt_state=opt_state, epoch=epoch,
+                    best_val_f1=res.best_val_f1,
+                    test_at_best_val=res.test_at_best_val,
+                    best_temperature=best_temp, losses=res.losses))
 
             if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
                 num_iteration = epoch + 1

@@ -148,3 +148,21 @@ def test_approx_topk_sampling_close_to_exact(rng):
     fe = counts_exact[top].mean() / 200
     fa = counts_approx[top].mean() / 200
     assert abs(fe - fa) < 0.05, (fe, fa)
+
+
+def test_debug_validate_graph_and_checked(rng):
+    from sgs_gnn_tpu.utils import validate_graph, checked, find_nans
+    import pytest as _pytest
+    g = _homophilous_graph(rng, n=20)
+    validate_graph(g)  # healthy graph passes
+    bad = g.replace(senders=jnp.full_like(g.senders, 99))
+    with _pytest.raises(ValueError, match="out of range"):
+        validate_graph(bad)
+
+    f = checked(lambda x: jnp.log(x))
+    out = f(jnp.ones(4))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+    with _pytest.raises(Exception):
+        f(jnp.zeros(4) - 1.0)  # log of negative -> nan check fires
+
+    assert find_nans({"a": jnp.ones(3), "b": jnp.asarray([jnp.nan])}) == ["b"]
