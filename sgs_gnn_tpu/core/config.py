@@ -85,6 +85,8 @@ class Config:
     checkpoint_every: int = 0     # save full train state every N epochs
     resume: bool = False          # resume from the latest checkpoint
     debug_checks: bool = False    # validate graph batches at prep time
+    data_parallel: str = 'off'    # 'on' = shard partitions over the mesh
+                                  # (synchronous grad-psum superset mode)
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True

@@ -99,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.resume)
     p.add_argument('--debug_checks', type=str2bool, nargs='?', const=True,
                    default=d.debug_checks)
+    p.add_argument('--data_parallel', type=str, default=d.data_parallel,
+                   choices=['off', 'on'])
     p.add_argument('--platform', type=str, default='',
                    help="force a JAX platform (e.g. 'cpu') before any "
                         "computation; empty = environment default")

@@ -85,6 +85,8 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     cfg.validate()
     if ds is None:
         ds = get_dataset(cfg)
+    if cfg.data_parallel == "on":
+        return run_experiment_parallel(cfg, ds, log_fn)
     batches, q = prepare_batches(cfg, ds)
     if cfg.debug_checks:
         from ..utils.debug import validate_graph
@@ -314,3 +316,128 @@ def _summary(cfg: Config, results: List[RunResult], log_fn):
     log_fn(f"Mean Std of Loaded best Val model Test F1 Score: "
            f"{np.mean(ft):.4f} +/- {np.std(ft):.4f}")
     log_fn("-------------------------------")
+
+
+def run_experiment_parallel(cfg: Config, ds: HostDataset,
+                            log_fn=print) -> List[RunResult]:
+    """Partition-parallel experiment: cluster batches shard over the device
+    mesh, one synchronized grad-psum update per epoch super-step
+    (parallel/partitioned.py). The superset scaling mode — N sequential
+    reference steps become one data-parallel step; quality tracking, eval,
+    best-val selection, and reporting mirror run_experiment.
+
+    Requires the number of partitions to be a multiple of the device count
+    (each device holds one or more partitions per super-step)."""
+    from flax import serialization
+    from ..parallel import (make_mesh, stack_batches, device_count,
+                            make_parallel_train_step, make_parallel_eval_step)
+
+    n_dev = device_count()
+    cfg_p = cfg if cfg.num_partitions else cfg.replace(num_partitions=max(
+        n_dev, int(np.ceil(ds.num_edges / cfg.metis_threshold))))
+    # round partitions up to a device multiple
+    parts = int(np.ceil(cfg_p.num_partitions / n_dev) * n_dev)
+    cfg_p = cfg_p.replace(num_partitions=parts)
+    batches, q = prepare_batches(cfg_p, ds)
+    if len(batches) == 1:
+        raise ValueError("data_parallel=on needs a partitioned graph; lower "
+                         "--metis_threshold or set --num_partitions")
+    if cfg.debug_checks:
+        from ..utils.debug import validate_graph
+        for i, b in enumerate(batches):
+            validate_graph(b, name=f"batch{i}")
+    mesh = make_mesh(n_dev)
+    groups = [stack_batches(batches[i:i + n_dev])
+              for i in range(0, len(batches), n_dev)]
+    if cfg.log:
+        log_fn(f"dataset={ds.name} parts={len(batches)} devices={n_dev} "
+               f"super_steps/epoch={len(groups)} q={q}")
+
+    model = get_model(cfg.GNN, batches[0].x.shape[1], cfg.nhid,
+                      ds.num_classes, cfg.drop_rate, cfg.edge_mlp_type,
+                      heads=cfg.gat_heads, dtype=cfg.dtype)
+    results: List[RunResult] = []
+    root_key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
+
+    for run in range(cfg.runs):
+        run_key = jax.random.fold_in(root_key, run + 1)
+        g0 = batches[0]
+        params = init_params(model, jax.random.PRNGKey(cfg.seed * 1000 + run),
+                             g0.x, g0.senders, g0.receivers)
+        opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+        opt_state = opt.init(params)
+        step = make_parallel_train_step(cfg, model, opt, q, cfg.epochs, mesh)
+        ev = make_parallel_eval_step(cfg, model, q, mesh)
+
+        res = RunResult()
+        best_params_bytes = None
+        best_temp = 0.0
+        epoch_times: List[float] = []
+        num_iteration = cfg.epochs
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            total_loss, temp = 0.0, 1.0
+            for gi, gstack in enumerate(groups):
+                res.total_updates += n_dev
+                params, opt_state, m = step(
+                    params, opt_state, gstack, jnp.asarray(epoch),
+                    jax.random.fold_in(run_key,
+                                       epoch * len(groups) + gi + 1))
+                total_loss += float(m.loss)
+                temp = float(m.temperature)
+                res.conditional_updates += int(m.conditional_update)
+            loss = total_loss / len(groups)
+            res.losses.append(loss)
+            epoch_times.append(time.time() - t0)
+
+            if cfg.eval:
+                ev_res = [ev(params, gstack,
+                             jax.random.fold_in(run_key, 2**30 + epoch),
+                             jnp.asarray(temp)) for gstack in groups]
+                agg = aggregate_eval(ev_res)
+                res.train_curve.append(agg["train_f1"])
+                res.val_curve.append(agg["val_f1"])
+                res.test_curve.append(agg["test_f1"])
+                if agg["val_f1"] >= res.best_val_f1:
+                    res.best_val_f1 = agg["val_f1"]
+                    res.test_at_best_val = agg["test_f1"]
+                    best_params_bytes = serialization.to_bytes(params)
+                    best_temp = temp
+                res.best_test_f1 = max(res.best_test_f1, agg["test_f1"])
+
+            if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
+                num_iteration = epoch + 1
+                break
+
+        res.num_iterations = num_iteration
+        res.train_time_sec = float(np.sum(epoch_times))
+        res.mean_epoch_time = float(np.mean(epoch_times)) if epoch_times else 0.0
+        if best_params_bytes is not None:
+            params = serialization.from_bytes(params, best_params_bytes)
+        ev_res = [ev(params, gstack, jax.random.fold_in(run_key, 2**31 - 1),
+                     jnp.asarray(best_temp)) for gstack in groups]
+        agg = aggregate_eval(ev_res)
+        res.final_train_f1 = agg["train_f1"]
+        res.final_val_f1 = agg["val_f1"]
+        res.final_test_f1 = agg["test_f1"]
+        log_fn(f"Run: {run} (data-parallel x{n_dev})")
+        log_fn(f"Mean epoch time of run {res.mean_epoch_time:.4f}")
+        log_fn(f"EdgeMLP updated {res.conditional_updates}/{res.total_updates}")
+        log_fn(f"Best Test F1 after loading saved model: "
+               f"{res.final_test_f1:.4f}")
+        if cfg.stats:
+            edges_per_s = (sum(int(np.asarray(b.edge_mask).sum())
+                               for b in batches)
+                           / max(res.mean_epoch_time, 1e-9))
+            log_fn(f"[stats] pipeline={cfg.pipeline} run={run} parallel={n_dev} "
+                   f"train_time_sec={res.train_time_sec:.4f} "
+                   f"edges_per_s={edges_per_s:.0f} "
+                   f"best_val_f1={res.final_val_f1:.4f} "
+                   f"best_test_f1={res.final_test_f1:.4f}")
+        if cfg.save_csv:
+            _append_csv(cfg, ds, run, res)
+        results.append(res)
+
+    _summary(cfg, results, log_fn)
+    return results

@@ -61,7 +61,7 @@ def test_parallel_step_trains_and_improves():
 
 def test_parallel_matches_sequential_gradients():
     """One parallel super-step with gates forced on must equal the average
-    of per-partition gradients: check via identical loss值 after one step
+    of per-partition gradients: check parameters after one step
     with conditional off (gate always true on every shard)."""
     n_dev = 4
     graphs, f, c = _partitioned_fixture(n_dev)
@@ -101,3 +101,25 @@ def test_parallel_matches_sequential_gradients():
     for a, b in zip(flat_par, flat_seq):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5)
+
+
+def test_data_parallel_driver_path():
+    """run_experiment with data_parallel=on trains over the virtual mesh."""
+    from sgs_gnn_tpu.run.driver import run_experiment
+    from sgs_gnn_tpu.data.registry import HostDataset
+    from sgs_gnn_tpu.data import to_undirected, edge_homophily, degree_prior
+    x, ei, y, (tr, va, te) = sbm_graph(n=400, num_classes=4, deg=10, h=0.8,
+                                       seed=0)
+    ei = to_undirected(ei)
+    ds = HostDataset(name="test", x=x, edge_index=ei, y=y, train_mask=tr,
+                     val_mask=va, test_mask=te,
+                     prob=degree_prior(ei[0], ei[1], 400),
+                     num_classes=4, He=edge_homophily(ei, y))
+    cfg = Config(pipeline="hybrid", mode="learned", nhid=16, epochs=6,
+                 metis_threshold=100, num_partitions=8, data_parallel="on",
+                 save_csv=False, num_samples_eval=2, donate=False,
+                 convergence=0.0)
+    res = run_experiment(cfg, ds, log_fn=lambda *a: None)[0]
+    assert res.total_updates == 6 * 8
+    assert 0.0 <= res.final_test_f1 <= 1.0
+    assert np.isfinite(res.losses).all()
