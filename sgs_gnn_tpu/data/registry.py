@@ -65,9 +65,19 @@ class HostDataset:
 
 def _load_npz(path: str):
     z = np.load(path, allow_pickle=False)
-    x = z["x"].astype(np.float32)
     ei = z["edge_index"].astype(np.int32)
     y = z["y"].astype(np.int32).reshape(-1)
+    if "x" in z:
+        x = z["x"].astype(np.float32)
+    elif "edge_attr" in z:
+        # node features from scatter-summed edge attributes — the
+        # ogbn-proteins initialization (reference datasets.py:84-86)
+        ea = z["edge_attr"].astype(np.float32)
+        n = int(ei.max()) + 1
+        x = np.zeros((n, ea.shape[1]), np.float32)
+        np.add.at(x, ei[1], ea)
+    else:
+        raise ValueError(f"{path}: needs 'x' or 'edge_attr'")
     masks = {}
     for k in ("train_mask", "val_mask", "test_mask"):
         if k in z:

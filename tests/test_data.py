@@ -136,3 +136,16 @@ def test_registry_multisplit_mask_column(tmp_path):
     ds = get_dataset(cfg, "Roman-empire")
     # column 2 selected (reference datasets.py:211-216)
     np.testing.assert_array_equal(ds.train_mask, te)
+
+
+def test_registry_edge_attr_feature_init(tmp_path, rng):
+    # ogbn-proteins-style: no x, node features = scatter-sum of edge attrs
+    n, e = 10, 40
+    ei = rng.integers(0, n, (2, e)).astype(np.int32)
+    ea = np.ones((e, 3), np.float32)
+    y = rng.integers(0, 2, n).astype(np.int32)
+    np.savez(tmp_path / "ogbn-proteins.npz", edge_index=ei, edge_attr=ea, y=y)
+    cfg = Config(data_dir=str(tmp_path))
+    ds = get_dataset(cfg, "ogbn-proteins")
+    assert ds.x.shape == (n, 3)
+    np.testing.assert_allclose(ds.x.sum(), e * 3)  # all edge attrs summed in

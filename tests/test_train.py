@@ -231,3 +231,24 @@ def test_small_batch_path_uses_full_graph(rng):
     fc_before = params["params"]["edge_prob_mlp"]["head"]["fc2"]["kernel"]
     fc_after = p2["params"]["edge_prob_mlp"]["head"]["fc2"]["kernel"]
     np.testing.assert_allclose(np.asarray(fc_before), np.asarray(fc_after))
+
+
+def test_sparse_edge_mlp_uses_random_subgraph_for_propagation(rng):
+    """With sparse_edge_mlp (or conditional), the scorer's ENCODER must
+    propagate on a random q-subgraph, not the full graph (reference
+    training_hybrid.py:45-57 / model.py:106-111): freezing the sampler key,
+    scores must differ from full-graph propagation."""
+    from sgs_gnn_tpu.train.pipelines import make_learned_loss
+    g = _homophilous_graph(rng, n=60)
+    q = g.num_edges // 4
+    model = get_model("GCN", g.x.shape[1], 16, g.num_classes, 0.0, "GCN")
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    key = jax.random.PRNGKey(5)
+    base = dict(pipeline="hybrid", mode="learned", conditional=False,
+                reg1=False, reg2=False, drop_rate=0.0, donate=False)
+    l_sparse = make_learned_loss(Config(**base, sparse_edge_mlp=True), model, q)
+    l_full = make_learned_loss(Config(**base, sparse_edge_mlp=False), model, q)
+    v1 = float(l_sparse(params, g, key)[0])
+    v2 = float(l_full(params, g, key)[0])
+    assert v1 != v2  # different propagation graphs -> different losses
