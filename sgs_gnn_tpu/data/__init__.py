@@ -5,12 +5,14 @@ from .priors import degree_prior, er_prior, effective_resistance_exact, \
 from .synthetic import (sbm_graph, moon_graph, karate_club,
                         rewire_to_homophily, reddit_style_subsample)
 from .transforms import (to_undirected, adj_svd_features,
-                         train_val_test_masks, edge_homophily)
+                         train_val_test_masks, edge_homophily,
+                         node_homophily, assortativity)
 
 __all__ = [
     "get_dataset", "HostDataset", "partition_nodes", "induced_subgraphs",
     "degree_prior", "er_prior", "effective_resistance_exact",
     "effective_resistance_rw", "sbm_graph", "moon_graph", "karate_club",
     "rewire_to_homophily", "reddit_style_subsample", "to_undirected",
-    "adj_svd_features", "train_val_test_masks", "edge_homophily",
+    "adj_svd_features", "train_val_test_masks", "edge_homophily", "node_homophily",
+    "assortativity",
 ]

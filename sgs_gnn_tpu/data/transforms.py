@@ -67,3 +67,29 @@ def edge_homophily(edge_index: np.ndarray, y: np.ndarray) -> float:
     if edge_index.shape[1] == 0:
         return 0.0
     return float(np.mean(y[edge_index[0]] == y[edge_index[1]]))
+
+
+def node_homophily(edge_index: np.ndarray, y: np.ndarray,
+                   num_nodes: int) -> float:
+    """Mean per-node fraction of same-label neighbors (PyG homophily
+    method='node'; logged by the reference synthetic generator,
+    Dataset.ipynb cell 31)."""
+    s, r = edge_index
+    same = (y[s] == y[r]).astype(np.float64)
+    deg = np.bincount(r, minlength=num_nodes).astype(np.float64)
+    same_cnt = np.bincount(r, weights=same, minlength=num_nodes)
+    has = deg > 0
+    if not has.any():
+        return 0.0
+    return float((same_cnt[has] / deg[has]).mean())
+
+
+def assortativity(edge_index: np.ndarray, num_nodes: int) -> float:
+    """Degree assortativity (Pearson correlation of endpoint degrees over
+    edges) — the reference logs this for synthetic graphs."""
+    s, r = edge_index
+    deg = np.bincount(np.concatenate([s, r]), minlength=num_nodes)
+    ds_, dr_ = deg[s].astype(np.float64), deg[r].astype(np.float64)
+    if ds_.std() == 0 or dr_.std() == 0:
+        return 0.0
+    return float(np.corrcoef(ds_, dr_)[0, 1])

@@ -260,6 +260,13 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                    f"peak_device_mem_mb={mem_s} "
                    f"best_val_f1={res.final_val_f1:.4f} "
                    f"best_test_f1={res.final_test_f1:.4f}")
+        if cfg.plot_curve and res.train_curve:
+            from ..viz import plot_learning_curves
+            os.makedirs(cfg.results_dir, exist_ok=True)
+            plot_learning_curves(
+                run, res.train_curve, res.val_curve, res.test_curve,
+                path=os.path.join(cfg.results_dir,
+                                  f"curves_{ds.name}_{cfg.mode}_run{run}.png"))
         if cfg.save_csv:
             _append_csv(cfg, ds, run, res)
         results.append(res)

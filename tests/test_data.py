@@ -149,3 +149,18 @@ def test_registry_edge_attr_feature_init(tmp_path, rng):
     ds = get_dataset(cfg, "ogbn-proteins")
     assert ds.x.shape == (n, 3)
     np.testing.assert_allclose(ds.x.sum(), e * 3)  # all edge attrs summed in
+
+
+def test_node_homophily_and_assortativity(rng):
+    from sgs_gnn_tpu.data import node_homophily, assortativity
+    # perfect homophily: two disconnected same-label cliques
+    ei = np.array([[0, 1, 2, 3], [1, 0, 3, 2]], np.int32)
+    y = np.array([0, 0, 1, 1], np.int32)
+    assert node_homophily(ei, y, 4) == 1.0
+    y2 = np.array([0, 1, 0, 1], np.int32)
+    assert node_homophily(ei, y2, 4) == 0.0
+    # star graph is disassortative (hub high degree <-> leaves degree 1)
+    n = 12
+    s = np.concatenate([np.zeros(n - 1), np.arange(1, n)]).astype(np.int32)
+    r = np.concatenate([np.arange(1, n), np.zeros(n - 1)]).astype(np.int32)
+    assert assortativity(np.stack([s, r]), n) < 0
