@@ -28,13 +28,19 @@ import numpy as np
 @partial(jax.tree_util.register_dataclass,
          data_fields=["x", "senders", "receivers", "y", "train_mask",
                       "val_mask", "test_mask", "prob", "edge_mask"],
-         meta_fields=["num_classes"])
+         meta_fields=["num_classes", "receiver_band"])
 @dataclasses.dataclass(frozen=True)
 class Graph:
     """One graph (or one cluster partition) with static shapes.
 
     Mirrors the fields the reference attaches to PyG ``Data``
     (datasets.py:221-227: ``num_classes``, ``He``, ``prob``).
+
+    ``receiver_band`` > 0 declares that ``receivers`` is non-decreasing with
+    the given narrow-band bound (ops/scatter_pallas.required_band), enabling
+    the banded Pallas scatter in gradient accumulations over the full edge
+    list. It is static metadata: two graphs with different bands compile
+    separately, so batched partitions should share the max band.
     """
 
     x: jax.Array            # (N, F) node features
@@ -47,6 +53,7 @@ class Graph:
     prob: jax.Array         # (E,) float sampling prior (degree or ER)
     edge_mask: jax.Array    # (E,) bool; False on padding edges
     num_classes: int = 0
+    receiver_band: int = 0  # 0 = receivers not known to be sorted
 
     @property
     def num_nodes(self) -> int:
@@ -68,7 +75,8 @@ class Graph:
     def build(x, edge_index, y, train_mask=None, val_mask=None,
               test_mask=None, prob=None, num_classes: Optional[int] = None,
               pad_edges_to: Optional[int] = None,
-              pad_edge_node: int = 0) -> "Graph":
+              pad_edge_node: int = 0,
+              sort_by_receiver: bool = False) -> "Graph":
         """Construct from host numpy arrays, optionally padding the edge list.
 
         Padding edges are self-loops on ``pad_edge_node`` with
@@ -76,6 +84,11 @@ class Graph:
         should point them at a dedicated ghost node (all-zero features,
         all masks False) so full-edge forwards through layers that ignore
         edge weights (GIN/GAT) never mix padding into real aggregations.
+
+        ``sort_by_receiver`` stably reorders the edge list by destination
+        (all per-edge arrays permuted together — semantics are edge-order
+        invariant) and records ``receiver_band`` so scatter-adds over the
+        full edge list take the banded Pallas fast path (PERF.md).
         """
         x = np.asarray(x, dtype=np.float32)
         edge_index = np.asarray(edge_index, dtype=np.int32)
@@ -100,6 +113,15 @@ class Graph:
             prob = np.concatenate([prob, np.zeros(pad, dtype=np.float32)])
             edge_mask = np.concatenate([edge_mask, np.zeros(pad, dtype=bool)])
 
+        receiver_band = 0
+        if sort_by_receiver and edge_index.shape[1]:
+            from ..ops.scatter_pallas import required_band
+            order = np.argsort(edge_index[1], kind="stable")
+            edge_index = edge_index[:, order]
+            prob = prob[order]
+            edge_mask = edge_mask[order]
+            receiver_band = required_band(edge_index[1])
+
         return Graph(
             x=jnp.asarray(x),
             senders=jnp.asarray(edge_index[0]),
@@ -111,6 +133,7 @@ class Graph:
             prob=jnp.asarray(prob),
             edge_mask=jnp.asarray(edge_mask),
             num_classes=int(num_classes),
+            receiver_band=int(receiver_band),
         )
 
 

@@ -118,6 +118,10 @@ def induced_subgraphs(x, edge_index, y, train_mask, val_mask, test_mask,
         g = Graph.build(xb, np.stack([s, r]), yb, tr, va, te, prob=pb,
                         num_classes=int(y.max()) + 1,
                         pad_edges_to=max_e if pad else None,
-                        pad_edge_node=max_n - 1 if pad else 0)
+                        pad_edge_node=max_n - 1 if pad else 0,
+                        sort_by_receiver=True)
         out.append(g)
-    return out
+    # receiver_band is static under jit: unify to the max so every
+    # (equal-shape) partition shares one compiled step executable
+    max_band = max(g.receiver_band for g in out)
+    return [g.replace(receiver_band=max_band) for g in out]

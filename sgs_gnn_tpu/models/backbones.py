@@ -39,10 +39,11 @@ class _Backbone(nn.Module):
 
     def score_edges(self, x, prop_senders, prop_receivers, score_senders,
                     score_receivers, deterministic: bool = True,
-                    use_remat: bool = False):
+                    use_remat: bool = False, score_receiver_band: int = 0):
         return self.edge_prob_mlp(x, prop_senders, prop_receivers,
                                   score_senders, score_receivers,
-                                  deterministic, use_remat)
+                                  deterministic, use_remat,
+                                  score_receiver_band)
 
 
 class GNNModel(_Backbone):

@@ -72,11 +72,12 @@ class EdgeProbMLP(nn.Module):
     @nn.compact
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,
-                 use_remat: bool = False):
+                 use_remat: bool = False, score_receiver_band: int = 0):
         proj = nn.Dense(self.hidden_dim, name="fcdim", dtype=self.dtype)
         drop = nn.Dropout(self.dropout_prob, deterministic=deterministic)
         hu = drop(nn.relu(proj(gather_rows(x, score_senders))))
-        hv = drop(nn.relu(proj(gather_rows(x, score_receivers))))
+        hv = drop(nn.relu(proj(gather_rows(x, score_receivers,
+                                           score_receiver_band))))
         head = _ScoreHead(self.hidden_dim, self.dropout_prob,
                           dtype=self.dtype, name="head")
 
@@ -96,7 +97,7 @@ class EdgeProbSAGE(nn.Module):
     @nn.compact
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,
-                 use_remat: bool = False):
+                 use_remat: bool = False, score_receiver_band: int = 0):
         h = SAGEConv(self.hidden_dim, dtype=self.dtype,
                      name="gcn1")(x, prop_senders, prop_receivers)
         h = nn.Dropout(self.dropout_prob, deterministic=deterministic)(nn.relu(h))
@@ -105,7 +106,8 @@ class EdgeProbSAGE(nn.Module):
 
         def score(h_):
             return head(gather_rows(h_, score_senders),
-                        gather_rows(h_, score_receivers), deterministic)
+                        gather_rows(h_, score_receivers,
+                                    score_receiver_band), deterministic)
 
         prob = _maybe_remat(score, use_remat)(h)
         return prob.squeeze(-1)
@@ -121,7 +123,7 @@ class EdgeProbGCN(nn.Module):
     @nn.compact
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,
-                 use_remat: bool = False):
+                 use_remat: bool = False, score_receiver_band: int = 0):
         h = GCNConv(self.hidden_dim, dtype=self.dtype,
                     name="gcn1")(x, prop_senders, prop_receivers)
         h = nn.Dropout(self.dropout_prob, deterministic=deterministic)(nn.relu(h))
@@ -132,7 +134,8 @@ class EdgeProbGCN(nn.Module):
 
         def score(h_):
             return head(gather_rows(h_, score_senders),
-                        gather_rows(h_, score_receivers), deterministic)
+                        gather_rows(h_, score_receivers,
+                                    score_receiver_band), deterministic)
 
         prob = _maybe_remat(score, use_remat)(h)
         return prob.squeeze(-1)

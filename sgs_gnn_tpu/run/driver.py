@@ -72,7 +72,8 @@ def prepare_batches(cfg: Config, ds: HostDataset):
         q = int(e * cfg.sample_perc)
         batches = [Graph.build(ds.x, ds.edge_index, ds.y, ds.train_mask,
                                ds.val_mask, ds.test_mask, prob=ds.prob,
-                               num_classes=ds.num_classes)]
+                               num_classes=ds.num_classes,
+                               sort_by_receiver=True)]
     return batches, q
 
 

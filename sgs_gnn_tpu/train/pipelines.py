@@ -53,9 +53,12 @@ def _apply_gnn(model, params, x, s, r, w, key):
 
 
 def _score(model, params, x, prop_s, prop_r, score_s, score_r, key,
-           use_remat=False):
+           use_remat=False, band=0):
+    # band: static narrow-band bound when score_r is the full
+    # sorted-by-receiver edge list (Graph.receiver_band) — routes the
+    # backward dh scatter through the banded Pallas kernel
     return model.apply(params, x, prop_s, prop_r, score_s, score_r,
-                       False, use_remat, rngs={"dropout": key},
+                       False, use_remat, band, rngs={"dropout": key},
                        method="score_edges")
 
 
@@ -91,6 +94,7 @@ def make_learned_loss(cfg: Config, model, q: int):
             # pass 1 (no grad) on the full edge set
             probs_full = jax.lax.stop_gradient(_score(
                 model, p, g.x, prop_s, prop_r, g.senders, g.receivers, k_s1))
+            # (no-grad pass: band irrelevant, no backward scatter)
             idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
                                   cfg.degree_bias_coef, edge_mask=g.edge_mask,
                                   approx=cfg.approx_topk)
@@ -103,7 +107,8 @@ def make_learned_loss(cfg: Config, model, q: int):
             probs_for_loss = weights
         elif pipeline == "straight_through":
             probs_full = _score(model, p, g.x, prop_s, prop_r,
-                                g.senders, g.receivers, k_s1)
+                                g.senders, g.receivers, k_s1,
+                                band=g.receiver_band)
             idx, weights = sample_edges(k_sample, probs_full, g.prob, q,
                                         cfg.degree_bias_coef,
                                         edge_mask=g.edge_mask,
@@ -113,7 +118,8 @@ def make_learned_loss(cfg: Config, model, q: int):
         elif pipeline == "hybrid":
             probs_full = _score(model, p, g.x, prop_s, prop_r,
                                 g.senders, g.receivers, k_s1,
-                                use_remat=cfg.hybrid_checkpoint)
+                                use_remat=cfg.hybrid_checkpoint,
+                                band=g.receiver_band)
             idx, _ = sample_edges(
                 k_sample, jax.lax.stop_gradient(probs_full), g.prob, q,
                 cfg.degree_bias_coef, edge_mask=g.edge_mask,

@@ -54,3 +54,85 @@ def test_gather_rows_under_jit_and_vmap(rng):
     assert out.shape == (4, 50, f)
     np.testing.assert_array_equal(np.asarray(out[2]),
                                   np.asarray(table[idx[2]]))
+
+
+def test_scatter_sorted_pallas_matches_segment_sum(rng):
+    from sgs_gnn_tpu.ops.scatter_pallas import (scatter_add_sorted_pallas,
+                                                required_band)
+    for e, n, f in [(700, 40, 32), (512, 8, 8), (3, 5, 16), (1, 1, 8)]:
+        ids = np.sort(rng.integers(0, n, e)).astype(np.int32)
+        vals = rng.normal(size=(e, f)).astype(np.float32)
+        band = required_band(ids, block=256)
+        out = scatter_add_sorted_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                                        n, band=band, block=256,
+                                        interpret=True)
+        ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(ids),
+                                  num_segments=n, indices_are_sorted=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_sorted_pallas_f32_exact_single():
+    # MXU default precision truncates f32 to bf16; the kernel must request
+    # HIGHEST for f32 vals so a single-element scatter is bit-exact
+    from sgs_gnn_tpu.ops.scatter_pallas import scatter_add_sorted_pallas
+    vals = jnp.asarray([[1.001, 2.002, 3.003, 4.004, 5.0, 6.0, 7.0, 8.0]],
+                       jnp.float32)
+    ids = jnp.asarray([0], jnp.int32)
+    out = scatter_add_sorted_pallas(vals, ids, 1, band=8, block=256,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(vals[0]))
+
+
+def test_required_band_properties(rng):
+    from sgs_gnn_tpu.ops.scatter_pallas import required_band
+    # uniform ids over few segments -> tiny band
+    ids = np.sort(rng.integers(0, 16, 4096)).astype(np.int32)
+    band = required_band(ids, block=256)
+    assert band % 8 == 0
+    # every 256-window spans <= band segments from its aligned origin
+    for i in range(0, len(ids), 256):
+        w = ids[i:i + 256]
+        assert w[-1] - (w[0] // 8 * 8) + 1 <= band
+    # adversarial: one window spanning the whole range
+    ids2 = np.arange(4096, dtype=np.int32)
+    assert required_band(ids2, block=256) >= 256
+
+
+def test_gather_rows_sorted_band_grad(rng):
+    # plumbing check: sorted_band must not change gradients (CPU falls back
+    # to segment_sum with the sorted hint)
+    n, e, f = 30, 200, 16
+    table = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    idx = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+
+    def loss_banded(t):
+        return jnp.sum(gather_rows(t, idx, sorted_band=16) ** 2)
+
+    def loss_plain(t):
+        return jnp.sum(gather_rows(t, idx) ** 2)
+
+    g1 = jax.grad(loss_banded)(table)
+    g2 = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_graph_build_sort_by_receiver(rng):
+    from sgs_gnn_tpu.core.graph import Graph
+    n, e = 20, 150
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    prob = rng.random(e).astype(np.float32)
+    g = Graph.build(x, np.stack([s, r]), y, prob=prob, pad_edges_to=180,
+                    pad_edge_node=n - 1, sort_by_receiver=True)
+    rr = np.asarray(g.receivers)
+    assert (np.diff(rr) >= 0).all()
+    assert g.receiver_band > 0
+    # the (sender, receiver, prob) triples are preserved as a multiset
+    got = sorted(zip(np.asarray(g.senders)[np.asarray(g.edge_mask)],
+                     rr[np.asarray(g.edge_mask)],
+                     np.asarray(g.prob)[np.asarray(g.edge_mask)]))
+    want = sorted(zip(s, r, prob))
+    assert got == want
