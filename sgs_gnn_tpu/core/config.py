@@ -41,6 +41,14 @@ class Config:
     conditional: bool = True
     pipeline: str = 'two_pass'
     hybrid_checkpoint: bool = False
+    # TPU-first hybrid variant: score the full edge set without grad (for
+    # sampling only) and re-run the score head with grad on just the q
+    # sampled edges. Gradient structure is identical to the reference
+    # hybrid (grads reach the scorer only through probs_full[idx],
+    # training_hybrid.py:86); only the head's dropout noise decouples
+    # between the sampling pass and the weight pass. Cuts the backward
+    # from E to q edges. False = exact reference dataflow.
+    hybrid_rescore: bool = True
     # sampling (parser.py:76-79, 84)
     sample_perc: float = 0.20
     t_init: float = 0.7

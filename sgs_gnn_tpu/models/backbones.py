@@ -45,6 +45,21 @@ class _Backbone(nn.Module):
                                   deterministic, use_remat,
                                   score_receiver_band)
 
+    def encode_scorer(self, x, prop_senders, prop_receivers,
+                      deterministic: bool = True):
+        """Scorer encoder only -> node embeddings (hybrid fast path)."""
+        return self.edge_prob_mlp.encode(x, prop_senders, prop_receivers,
+                                         deterministic)
+
+    def score_from_embeddings(self, h, senders, receivers,
+                              deterministic: bool = True,
+                              use_remat: bool = False,
+                              receiver_band: int = 0):
+        """Score head only, over precomputed scorer embeddings."""
+        return self.edge_prob_mlp.score_from(h, senders, receivers,
+                                             deterministic, use_remat,
+                                             receiver_band)
+
 
 class GNNModel(_Backbone):
     """2-layer GCN backbone (reference model.py:147-164). Accepts per-edge

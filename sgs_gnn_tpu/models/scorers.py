@@ -4,9 +4,19 @@ Re-design of the reference scorers (reference model.py:8-145): an encoder
 produces node embeddings, then a shared score head maps each edge
 (u, v) -> sigmoid(fc2(relu(fc1([h_u * h_v || h_u - h_v])))).
 
-Scorer call signature (all variants):
-    scorer(x, prop_senders, prop_receivers, score_senders, score_receivers,
-           deterministic, use_remat)
+Each scorer exposes two sub-steps plus the combined call:
+
+    encode(x, prop_senders, prop_receivers, deterministic) -> h   (N, hid)
+    score_from(h, senders, receivers, deterministic, use_remat,
+               receiver_band) -> probs                            (E,)
+    __call__(...) == score_from(encode(...), score edges)
+
+The split exists for the TPU-first hybrid fast path (train/pipelines.py,
+cfg.hybrid_rescore): the full-edge-set scoring pass runs on detached
+embeddings for sampling only, and the gradient pass re-runs just the head
+on the q sampled edges — the reference's gradient structure
+(training_hybrid.py:86 gathers probs_full[idx], so grads only ever flow
+through sampled edges) at q/E of the backward cost.
 
   * prop edges drive the encoder's message passing. In `sparse_edge_mlp`
     mode the reference feeds a random q-subgraph here instead of the full
@@ -19,12 +29,20 @@ Scorer call signature (all variants):
 analogue of the reference's `torch.utils.checkpoint` under
 `--hybrid_checkpoint` (reference model.py:38-39, 126-127).
 
-Note: the reference's MLP variant gathers endpoint features from the random
-subgraph's *edges* when one is provided (model.py:24-25), which is
-shape-inconsistent with its own samplers when q < E (the GCN variant — the
-default — only uses the random subgraph for propagation). Since the MLP
-variant has no propagation step, this framework always scores the requested
-`score` edges; the random subgraph is irrelevant to it.
+`receiver_band` > 0 asserts the score receivers are sorted with that
+narrow-band bound (Graph.receiver_band), routing the backward dh scatter
+through the banded Pallas kernel.
+
+Notes on deliberate divergences from the reference:
+  * The MLP variant projects node rows first and gathers the projections
+    (row-wise linearity; the reference projects gathered E rows,
+    model.py:24-30 — E/N x more MXU FLOPs). Dropout noise is therefore
+    shared across edges touching the same node rather than drawn per edge.
+  * The reference MLP variant gathers endpoint features from the random
+    subgraph's *edges* when one is provided (model.py:24-25), which is
+    shape-inconsistent with its own samplers when q < E; since the MLP
+    variant has no propagation step, this framework always scores the
+    requested `score` edges.
 """
 from __future__ import annotations
 
@@ -62,83 +80,87 @@ def _maybe_remat(fn, use_remat: bool):
     return jax.checkpoint(fn) if use_remat else fn
 
 
-class EdgeProbMLP(nn.Module):
+class _EdgeScorer(nn.Module):
+    """Shared scaffolding: score head + score_from + combined __call__."""
+    hidden_dim: int
+    dropout_prob: float = 0.2
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.head = _ScoreHead(self.hidden_dim, self.dropout_prob,
+                               dtype=self.dtype)
+        self._setup_encoder()
+
+    def _setup_encoder(self):
+        raise NotImplementedError
+
+    def encode(self, x, prop_senders, prop_receivers,
+               deterministic: bool = True):
+        raise NotImplementedError
+
+    def score_from(self, h, senders, receivers, deterministic: bool = True,
+                   use_remat: bool = False, receiver_band: int = 0):
+        def score(h_):
+            return self.head(gather_rows(h_, senders),
+                             gather_rows(h_, receivers, receiver_band),
+                             deterministic)
+
+        return _maybe_remat(score, use_remat)(h).squeeze(-1)
+
+    def __call__(self, x, prop_senders, prop_receivers, score_senders,
+                 score_receivers, deterministic: bool = True,
+                 use_remat: bool = False, score_receiver_band: int = 0):
+        h = self.encode(x, prop_senders, prop_receivers, deterministic)
+        return self.score_from(h, score_senders, score_receivers,
+                               deterministic, use_remat, score_receiver_band)
+
+
+class EdgeProbMLP(_EdgeScorer):
     """MLP scorer: per-endpoint projection, no propagation
     (reference model.py:8-45)."""
-    hidden_dim: int
-    dropout_prob: float = 0.2
-    dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, prop_senders, prop_receivers, score_senders,
-                 score_receivers, deterministic: bool = True,
-                 use_remat: bool = False, score_receiver_band: int = 0):
-        proj = nn.Dense(self.hidden_dim, name="fcdim", dtype=self.dtype)
-        drop = nn.Dropout(self.dropout_prob, deterministic=deterministic)
-        hu = drop(nn.relu(proj(gather_rows(x, score_senders))))
-        hv = drop(nn.relu(proj(gather_rows(x, score_receivers,
-                                           score_receiver_band))))
-        head = _ScoreHead(self.hidden_dim, self.dropout_prob,
-                          dtype=self.dtype, name="head")
+    def _setup_encoder(self):
+        self.fcdim = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_prob)
 
-        def score(hu_, hv_):
-            return head(hu_, hv_, deterministic)
-
-        prob = _maybe_remat(score, use_remat)(hu, hv)
-        return prob.squeeze(-1)
+    def encode(self, x, prop_senders, prop_receivers,
+               deterministic: bool = True):
+        # project node rows, not gathered edge rows (module docstring);
+        # cast before the E-row gathers: the head computes in `dtype`
+        # anyway, and bf16 halves gather HBM traffic at edge scale
+        h = self.drop(nn.relu(self.fcdim(x)), deterministic=deterministic)
+        return h.astype(self.dtype)
 
 
-class EdgeProbSAGE(nn.Module):
+class EdgeProbSAGE(_EdgeScorer):
     """1-layer GraphSAGE encoder + score head (reference model.py:47-89)."""
-    hidden_dim: int
-    dropout_prob: float = 0.2
-    dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, prop_senders, prop_receivers, score_senders,
-                 score_receivers, deterministic: bool = True,
-                 use_remat: bool = False, score_receiver_band: int = 0):
-        h = SAGEConv(self.hidden_dim, dtype=self.dtype,
-                     name="gcn1")(x, prop_senders, prop_receivers)
-        h = nn.Dropout(self.dropout_prob, deterministic=deterministic)(nn.relu(h))
-        head = _ScoreHead(self.hidden_dim, self.dropout_prob,
-                          dtype=self.dtype, name="head")
+    def _setup_encoder(self):
+        self.gcn1 = SAGEConv(self.hidden_dim, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_prob)
 
-        def score(h_):
-            return head(gather_rows(h_, score_senders),
-                        gather_rows(h_, score_receivers,
-                                    score_receiver_band), deterministic)
-
-        prob = _maybe_remat(score, use_remat)(h)
-        return prob.squeeze(-1)
+    def encode(self, x, prop_senders, prop_receivers,
+               deterministic: bool = True):
+        h = self.gcn1(x, prop_senders, prop_receivers)
+        h = self.drop(nn.relu(h), deterministic=deterministic)
+        return h.astype(self.dtype)
 
 
-class EdgeProbGCN(nn.Module):
+class EdgeProbGCN(_EdgeScorer):
     """2-layer GCN encoder + score head — the default scorer
     (`--edge_mlp_type GCN`, reference parser.py:63; model.py:91-133)."""
-    hidden_dim: int
-    dropout_prob: float = 0.2
-    dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, prop_senders, prop_receivers, score_senders,
-                 score_receivers, deterministic: bool = True,
-                 use_remat: bool = False, score_receiver_band: int = 0):
-        h = GCNConv(self.hidden_dim, dtype=self.dtype,
-                    name="gcn1")(x, prop_senders, prop_receivers)
-        h = nn.Dropout(self.dropout_prob, deterministic=deterministic)(nn.relu(h))
-        h = nn.relu(GCNConv(self.hidden_dim, dtype=self.dtype,
-                            name="gcn2")(h, prop_senders, prop_receivers))
-        head = _ScoreHead(self.hidden_dim, self.dropout_prob,
-                          dtype=self.dtype, name="head")
+    def _setup_encoder(self):
+        self.gcn1 = GCNConv(self.hidden_dim, dtype=self.dtype)
+        self.gcn2 = GCNConv(self.hidden_dim, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_prob)
 
-        def score(h_):
-            return head(gather_rows(h_, score_senders),
-                        gather_rows(h_, score_receivers,
-                                    score_receiver_band), deterministic)
-
-        prob = _maybe_remat(score, use_remat)(h)
-        return prob.squeeze(-1)
+    def encode(self, x, prop_senders, prop_receivers,
+               deterministic: bool = True):
+        h = self.gcn1(x, prop_senders, prop_receivers)
+        h = self.drop(nn.relu(h), deterministic=deterministic)
+        h = nn.relu(self.gcn2(h, prop_senders, prop_receivers))
+        return h.astype(self.dtype)
 
 
 def get_edge_mlp(hidden_dim: int, dropout_prob: float,

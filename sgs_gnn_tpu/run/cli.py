@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.stats)
     p.add_argument('--hybrid_checkpoint', type=str2bool, nargs='?',
                    const=True, default=d.hybrid_checkpoint)
+    p.add_argument('--hybrid_rescore', type=str2bool, nargs='?',
+                   const=True, default=d.hybrid_rescore,
+                   help='hybrid fast path: backward over sampled edges only')
     # framework-specific extras
     p.add_argument('--data_dir', type=str, default=d.data_dir)
     p.add_argument('--results_dir', type=str, default=d.results_dir)

@@ -115,6 +115,27 @@ def make_learned_loss(cfg: Config, model, q: int):
                                         approx=cfg.approx_topk)
             s_s, s_r = g.senders[idx], g.receivers[idx]
             probs_for_loss = weights
+        elif pipeline == "hybrid" and cfg.hybrid_rescore:
+            # TPU-first variant (cfg.hybrid_rescore): grads only ever reach
+            # the scorer through probs_full[idx] (training_hybrid.py:86), so
+            # run the full-E scoring pass detached (sampling only) and the
+            # grad-enabled head on just the q sampled edges — q/E of the
+            # backward cost, same gradient structure. Only the head's
+            # dropout noise decouples between sampling and weights.
+            h = model.apply(p, g.x, prop_s, prop_r, False,
+                            rngs={"dropout": k_s1}, method="encode_scorer")
+            probs_sample = jax.lax.stop_gradient(model.apply(
+                p, jax.lax.stop_gradient(h), g.senders, g.receivers, False,
+                rngs={"dropout": k_s1}, method="score_from_embeddings"))
+            idx, _ = sample_edges(k_sample, probs_sample, g.prob, q,
+                                  cfg.degree_bias_coef, edge_mask=g.edge_mask,
+                                  approx=cfg.approx_topk)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+            weights = model.apply(p, h, s_s, s_r, False,
+                                  cfg.hybrid_checkpoint, 0,
+                                  rngs={"dropout": k_s2},
+                                  method="score_from_embeddings")
+            probs_for_loss = weights
         elif pipeline == "hybrid":
             probs_full = _score(model, p, g.x, prop_s, prop_r,
                                 g.senders, g.receivers, k_s1,

@@ -252,3 +252,34 @@ def test_sparse_edge_mlp_uses_random_subgraph_for_propagation(rng):
     v1 = float(l_sparse(params, g, key)[0])
     v2 = float(l_full(params, g, key)[0])
     assert v1 != v2  # different propagation graphs -> different losses
+
+
+def test_hybrid_rescore_matches_reference_dataflow(rng):
+    # With dropout off, the fast-rescore hybrid (score full set detached,
+    # re-run the head on sampled edges with grad) must produce the same
+    # loss and the same gradients as the reference dataflow (grad-enabled
+    # full-set scoring, weights = probs_full[idx]).
+    from sgs_gnn_tpu.train.pipelines import make_learned_loss
+    g = _homophilous_graph(rng)
+    q = int(g.num_edges * 0.3)
+    key = jax.random.PRNGKey(3)
+    losses, grads = [], []
+    for rescore in (True, False):
+        cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
+                     reg1=True, reg2=True, nhid=32, drop_rate=0.0,
+                     hybrid_rescore=rescore, donate=False)
+        model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                          cfg.drop_rate, cfg.edge_mlp_type)
+        params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                             g.receivers)
+        loss_fn = make_learned_loss(cfg, model, q)
+        (loss, _), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, g, key)
+        losses.append(float(loss))
+        grads.append(grad)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(grads[0])
+    flat1 = jax.tree_util.tree_leaves(grads[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
