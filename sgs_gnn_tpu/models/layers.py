@@ -21,7 +21,7 @@ import flax.linen as nn
 # accumulations stay float32.
 
 from ..ops.spmm import spmm
-from ..ops.gcn_norm import gcn_norm
+from ..ops.gcn_norm import gcn_norm, gcn_norm_terms
 from ..ops.segment import segment_softmax, segment_mean
 
 
@@ -41,12 +41,13 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_weight=None):
         n = x.shape[0]
-        s, r, w = gcn_norm(senders, receivers, edge_weight, n)
+        # self-loops enter analytically (diagonal term) — no E+N concat
+        w, loop_coef = gcn_norm_terms(senders, receivers, edge_weight, n)
         x = nn.Dense(self.features, use_bias=False, name="lin",
                      dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
-        out = spmm(s, r, w, x, n, backend=self.backend)
-        out = out.astype(jnp.float32)
+        out = spmm(senders, receivers, w, x, n, backend=self.backend)
+        out = out.astype(jnp.float32) + loop_coef[:, None] * x.astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias

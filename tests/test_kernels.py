@@ -136,3 +136,56 @@ def test_graph_build_sort_by_receiver(rng):
                      np.asarray(g.prob)[np.asarray(g.edge_mask)]))
     want = sorted(zip(s, r, prob))
     assert got == want
+
+
+def test_segment_sum_scalar_pallas_interpret(rng):
+    from sgs_gnn_tpu.ops.scatter_pallas import _segment_sum_scalar_pallas
+    e, n = 700, 40
+    ids = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    # unweighted counts must be exact (0/1 x 1 products, f32 accumulation)
+    out = _segment_sum_scalar_pallas(jnp.ones(e, jnp.float32), ids, n,
+                                     block=256, interpret=True)
+    ref = jax.ops.segment_sum(jnp.ones(e), ids, num_segments=n)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # weighted sums round w to bf16
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    out = _segment_sum_scalar_pallas(w, ids, n, block=256, interpret=True)
+    ref = jax.ops.segment_sum(w, ids, num_segments=n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2)
+
+
+def test_segment_sum_scalar_grad(rng):
+    from sgs_gnn_tpu.ops.scatter_pallas import segment_sum_scalar
+    e, n = 300, 20
+    ids = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    coef = jnp.asarray(rng.random(n).astype(np.float32))
+
+    def loss(w_):
+        return jnp.sum(coef * segment_sum_scalar(w_, ids, n))
+
+    def loss_ref(w_):
+        return jnp.sum(coef * jax.ops.segment_sum(w_, ids, num_segments=n))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(w)),
+                               np.asarray(jax.grad(loss_ref)(w)), rtol=1e-6)
+
+
+def test_gcn_norm_terms_matches_concat_form(rng):
+    from sgs_gnn_tpu.ops.gcn_norm import gcn_norm, gcn_norm_terms
+    n, e = 30, 200
+    s = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    # dense oracle from the concat form
+    s2, r2, norm2 = gcn_norm(s, r, w, n, add_loops=True)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (np.asarray(r2), np.asarray(s2)), np.asarray(norm2))
+    want = dense @ np.asarray(x)
+    # terms form: edge spmm + analytic diagonal
+    norm, loop_coef = gcn_norm_terms(s, r, w, n)
+    dense_e = np.zeros((n, n), np.float32)
+    np.add.at(dense_e, (np.asarray(r), np.asarray(s)), np.asarray(norm))
+    got = dense_e @ np.asarray(x) + np.asarray(loop_coef)[:, None] * np.asarray(x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
