@@ -103,7 +103,59 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def validate(self):
-        assert self.GNN in GNNS, self.GNN
-        assert self.edge_mlp_type in EDGE_MLPS, self.edge_mlp_type
-        assert self.pipeline in PIPELINES, self.pipeline
-        assert self.mode in MODES, self.mode
+        """Check every field so typos die at config time, not deep in a
+        trace. A dataset outside DATASETS is allowed iff a converted npz
+        cache exists under data_dir (data/registry.py npz convention)."""
+        import os
+
+        def check(ok, msg):
+            if not ok:
+                raise ValueError(f"Config: {msg}")
+
+        check(self.GNN in GNNS, f"GNN={self.GNN!r} not in {GNNS}")
+        check(self.edge_mlp_type in EDGE_MLPS,
+              f"edge_mlp_type={self.edge_mlp_type!r} not in {EDGE_MLPS}")
+        check(self.pipeline in PIPELINES,
+              f"pipeline={self.pipeline!r} not in {PIPELINES}")
+        check(self.mode in MODES, f"mode={self.mode!r} not in {MODES}")
+        npz = os.path.join(self.data_dir, f"{self.dataset}.npz")
+        check(self.dataset in DATASETS or os.path.exists(npz),
+              f"dataset={self.dataset!r} not in DATASETS and no cache at "
+              f"{npz}")
+        check(self.dtype in ("float32", "bfloat16"),
+              f"dtype={self.dtype!r} must be float32|bfloat16")
+        check(self.prng_impl in ("threefry2x32", "rbg"),
+              f"prng_impl={self.prng_impl!r} must be threefry2x32|rbg")
+        check(self.data_parallel in ("on", "off"),
+              f"data_parallel={self.data_parallel!r} must be on|off")
+        check(0.0 < self.sample_perc <= 1.0,
+              f"sample_perc={self.sample_perc} not in (0, 1]")
+        check(0.0 <= self.drop_rate < 1.0,
+              f"drop_rate={self.drop_rate} not in [0, 1)")
+        check(0.0 <= self.degree_bias_coef <= 1.0,
+              f"degree_bias_coef={self.degree_bias_coef} not in [0, 1]")
+        check(self.t_min <= self.t_init,
+              f"t_min={self.t_min} > t_init={self.t_init}")
+        check(0.0 < self.train < 1.0, f"train={self.train} not in (0, 1)")
+        check(0.0 <= self.hn <= 1.0, f"hn={self.hn} not in [0, 1]")
+        check(self.nhid > 0, f"nhid={self.nhid} must be > 0")
+        check(self.gat_heads >= 1, f"gat_heads={self.gat_heads} must be >= 1")
+        check(self.epochs > 0, f"epochs={self.epochs} must be > 0")
+        check(self.runs > 0, f"runs={self.runs} must be > 0")
+        check(self.lr > 0, f"lr={self.lr} must be > 0")
+        check(self.weight_decay >= 0,
+              f"weight_decay={self.weight_decay} must be >= 0")
+        check(self.metis_threshold > 0,
+              f"metis_threshold={self.metis_threshold} must be > 0")
+        check(self.num_samples_eval >= 1,
+              f"num_samples_eval={self.num_samples_eval} must be >= 1")
+        check(self.convergence >= 0,
+              f"convergence={self.convergence} must be >= 0")
+        check(self.degree > 0, f"degree={self.degree} must be > 0")
+        check(self.regularizer1_coef >= 0 and self.consist_reg_coef >= 0,
+              "regularizer coefficients must be >= 0")
+        check(self.checkpoint_every >= 0,
+              f"checkpoint_every={self.checkpoint_every} must be >= 0")
+        check(self.num_partitions >= 0,
+              f"num_partitions={self.num_partitions} must be >= 0")
+        check(self.seed >= 0, f"seed={self.seed} must be >= 0")

@@ -125,6 +125,12 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                                      force_small=True)
         ev_big = make_eval_step(cfg, model, q)
         ev_small = make_eval_step(cfg, model, q, force_small=True)
+        seg_profile = None
+        if cfg.gpu_profile:
+            from ..utils.profiler import make_segment_profiler
+            seg_profile = make_segment_profiler(cfg, model, q)
+            profile_bi = next((i for i in range(n_batches)
+                               if has_train[i]), 0)
 
         res = RunResult()
         best_params_bytes = None
@@ -157,7 +163,13 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             order = shuffle_rng.permutation(n_batches)
-            total_loss, temp = 0.0, 1.0
+            # accumulate loss/metrics ON DEVICE; one host readback per epoch
+            # (the reference blocks on loss.item() every batch,
+            # training_hybrid.py:186 — at Reddit scale that is 115 blocking
+            # device->host syncs per epoch)
+            loss_acc = jnp.zeros(())
+            cond_acc = jnp.zeros(())
+            temp_dev = jnp.ones(())
             for bi in order:
                 if not has_train[bi]:
                     continue
@@ -166,28 +178,32 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                 params, opt_state, m = step(
                     params, opt_state, batches[bi], jnp.asarray(epoch),
                     jax.random.fold_in(run_key, epoch * n_batches + int(bi) + 1))
-                total_loss += float(m.loss)
-                temp = float(m.temperature)
-                res.conditional_updates += int(m.conditional_update)
+                loss_acc = loss_acc + m.loss
+                cond_acc = cond_acc + m.conditional_update
+                temp_dev = m.temperature
             # reference divides by len(cluster_loader) incl. skipped batches
-            loss = total_loss / n_batches
+            loss = float(loss_acc) / n_batches   # epoch's one sync point
+            temp = float(temp_dev)
+            res.conditional_updates += int(cond_acc)
             res.losses.append(loss)
             epoch_times.append(time.time() - t0)
 
-            if cfg.gpu_profile:
-                # per-epoch profile line — the analogue of the reference's
-                # [gpu-profile] output (main.py:171-207). Under XLA the four
-                # reference segments fuse into one executable, so we report
-                # the epoch step time plus live/peak device memory from the
-                # PJRT allocator.
+            if seg_profile is not None:
+                # per-epoch [gpu-profile] line with the reference's four
+                # segment names (reference main.py:171-207), each timed
+                # stand-alone (utils/profiler.make_segment_profiler), plus
+                # PJRT allocator stats in place of CUDA memory counters
                 from ..utils.profiler import device_memory_mb
+                segs = seg_profile(params, batches[profile_bi],
+                                   jax.random.fold_in(run_key, 2**29 + epoch))
                 mem = device_memory_mb()
                 mem_s = (f"allocated_mb={mem.get('allocated_mb', 0):.1f} "
                          f"peak_mb={mem.get('peak_mb', 0):.1f}"
                          if mem else "mem=n/a")
+                seg_s = " ".join(f"{k}_ms={v:.2f}" for k, v in segs.items())
                 log_fn(f"[gpu-profile] epoch={epoch} "
                        f"step_time_ms={epoch_times[-1]/max(len(order),1)*1e3:.2f} "
-                       f"batches={len(order)} {mem_s}")
+                       f"batches={len(order)} {seg_s} {mem_s}")
 
             if cfg.eval:
                 ev_res = []
@@ -256,8 +272,12 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         if cfg.stats:
             mem = _device_peak_mem_mb()
             mem_s = f"{mem:.2f}" if mem is not None else "NA"
+            # edges/s = valid (unpadded) edges trained per second — the
+            # north-star throughput metric, on both execution paths
+            edges_per_s = sum(valid_e) / max(res.mean_epoch_time, 1e-9)
             log_fn(f"[stats] pipeline={cfg.pipeline} run={run} "
                    f"train_time_sec={res.train_time_sec:.4f} "
+                   f"edges_per_s={edges_per_s:.0f} "
                    f"peak_device_mem_mb={mem_s} "
                    f"best_val_f1={res.final_val_f1:.4f} "
                    f"best_test_f1={res.final_test_f1:.4f}")
@@ -385,17 +405,22 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
 
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            total_loss, temp = 0.0, 1.0
+            # device-side accumulation; single host readback per epoch
+            loss_acc = jnp.zeros(())
+            cond_acc = jnp.zeros(())
+            temp_dev = jnp.ones(())
             for gi, gstack in enumerate(groups):
                 res.total_updates += n_dev
                 params, opt_state, m = step(
                     params, opt_state, gstack, jnp.asarray(epoch),
                     jax.random.fold_in(run_key,
                                        epoch * len(groups) + gi + 1))
-                total_loss += float(m.loss)
-                temp = float(m.temperature)
-                res.conditional_updates += int(m.conditional_update)
-            loss = total_loss / len(groups)
+                loss_acc = loss_acc + m.loss
+                cond_acc = cond_acc + m.conditional_update
+                temp_dev = m.temperature
+            loss = float(loss_acc) / len(groups)
+            temp = float(temp_dev)
+            res.conditional_updates += int(cond_acc)
             res.losses.append(loss)
             epoch_times.append(time.time() - t0)
 

@@ -45,6 +45,17 @@ def validate_graph(g, name: str = "graph") -> None:
     y = np.asarray(g.y)
     if g.num_classes and (y.min() < 0 or y.max() >= g.num_classes):
         problems.append(f"labels out of range [0,{g.num_classes})")
+    if g.receiver_band:
+        # a stale/undersized band makes scatter_add_sorted_pallas silently
+        # DROP gradient contributions (ops/scatter_pallas.py band contract) —
+        # fail loudly here instead
+        from ..ops.scatter_pallas import required_band
+        if e and (np.diff(r) < 0).any():
+            problems.append("receiver_band set but receivers are not sorted")
+        elif e and required_band(r) > g.receiver_band:
+            problems.append(
+                f"receiver_band={g.receiver_band} < required_band="
+                f"{required_band(r)}; banded scatter would drop contributions")
     if problems:
         raise ValueError(f"{name}: " + "; ".join(problems))
 

@@ -96,6 +96,106 @@ class SegmentTimer:
         log_fn(f"{prefix} " + " | ".join(parts))
 
 
+def make_segment_profiler(cfg, model, q: int):
+    """Per-epoch segment breakdown for ``--gpu_profile`` — the analogue of
+    the reference's GpuMemoryProfiler four named segments (reference
+    utils.py:13-79, printed main.py:171-207). Under XLA the segments fuse
+    into one train-step executable, so each is timed stand-alone as its own
+    jitted computation with a host readback as the sync point (the honest
+    TPU equivalent of the reference's cuda.synchronize brackets; per-segment
+    *memory* deltas are not observable inside a fused executable).
+
+    Returns ``profile(params, g, key) -> {segment_name: ms}`` with the
+    reference's segment names (SegmentTimer.SEGMENTS). For non-learned
+    modes only gnn_forward/backward are meaningful (no edge scorer runs).
+    """
+    import jax.numpy as jnp
+
+    learned = cfg.mode == "learned"
+    use_rand = cfg.conditional or cfg.sparse_edge_mlp
+
+    from ..sparsify.sampling import sample_prior_edges, sample_edges
+
+    def _prop_edges(g, key):
+        if learned and use_rand and g.num_edges > q:
+            idx = sample_prior_edges(key, g.prob, q, g.edge_mask,
+                                     approx=cfg.approx_topk)
+            return g.senders[idx], g.receivers[idx]
+        return g.senders, g.receivers
+
+    @jax.jit
+    def seg_pre(params, g, key):
+        s, r = _prop_edges(g, key)
+        return model.apply(params, g.x, s, r, False, rngs={"dropout": key},
+                           method="encode_scorer")
+
+    @jax.jit
+    def seg_score(params, h, g, key):
+        return model.apply(params, h, g.senders, g.receivers, False,
+                           rngs={"dropout": key},
+                           method="score_from_embeddings")
+
+    @jax.jit
+    def seg_sample(probs, g, key):
+        if g.num_edges > q:
+            idx, _ = sample_edges(key, probs, g.prob, q, cfg.degree_bias_coef,
+                                  edge_mask=g.edge_mask,
+                                  approx=cfg.approx_topk)
+            return g.senders[idx], g.receivers[idx]
+        return g.senders, g.receivers
+
+    @jax.jit
+    def seg_gnn(params, g, s, r, key):
+        return model.apply(params, g.x, s, r, None, deterministic=False,
+                           rngs={"dropout": key})
+
+    loss_fn = None
+    if learned:
+        from ..train.pipelines import make_learned_loss
+        loss_fn = make_learned_loss(cfg, model, q)
+
+    @jax.jit
+    def seg_backward(params, g, key):
+        if learned and g.num_edges > q:
+            grads = jax.grad(lambda p: loss_fn(p, g, key)[0])(params)
+        else:
+            from ..train.losses import masked_cross_entropy
+
+            def ce(p):
+                out = model.apply(p, g.x, g.senders, g.receivers, None,
+                                  deterministic=False,
+                                  rngs={"dropout": key})
+                return masked_cross_entropy(out, g.y, g.train_mask)
+
+            grads = jax.grad(ce)(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    def _timed_call(fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        # readback of (the first leaf of) the result is the sync point
+        first = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(first)).reshape(-1)[:1]
+        return out, (time.perf_counter() - t0) * 1e3
+
+    def profile(params, g, key):
+        ms = {}
+        if learned:
+            h, ms["edge_mlp_pre"] = _timed_call(seg_pre, params, g, key)
+            probs, ms["edge_score"] = _timed_call(seg_score, params, h, g,
+                                                  key)
+            (s, r), _ = _timed_call(seg_sample, probs, g, key)
+        else:
+            ms["edge_mlp_pre"] = ms["edge_score"] = 0.0
+            s, r = g.senders, g.receivers
+        _, ms["gnn_forward"] = _timed_call(seg_gnn, params, g, s, r, key)
+        _, ms["backward"] = _timed_call(seg_backward, params, g, key)
+        return ms
+
+    return profile
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/jax-trace"):
     """jax.profiler trace context for TensorBoard."""

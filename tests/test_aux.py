@@ -166,3 +166,66 @@ def test_debug_validate_graph_and_checked(rng):
         f(jnp.zeros(4) - 1.0)  # log of negative -> nan check fires
 
     assert find_nans({"a": jnp.ones(3), "b": jnp.asarray([jnp.nan])}) == ["b"]
+
+
+def test_config_validate_catches_typos(tmp_path):
+    from sgs_gnn_tpu.core.config import Config
+    import pytest as _pytest
+    Config(dataset="SyntheticSBM").validate()          # baseline OK
+    for kw in ({"dataset": "Redit"}, {"dtype": "fp16"},
+               {"data_parallel": "yes"}, {"sample_perc": 0.0},
+               {"prng_impl": "philox"}, {"t_init": 0.1, "t_min": 0.5},
+               {"mode": "lernt"}, {"epochs": 0}, {"drop_rate": 1.5}):
+        with _pytest.raises(ValueError):
+            Config(**kw).validate()
+    # unknown dataset name is allowed when an npz cache exists
+    import numpy as np_
+    p = tmp_path / "mygraph.npz"
+    np_.savez(p, x=np_.zeros((2, 2)), edge_index=np_.zeros((2, 1)),
+              y=np_.zeros(2))
+    Config(dataset="mygraph", data_dir=str(tmp_path)).validate()
+
+
+def test_validate_graph_flags_stale_receiver_band(rng):
+    from sgs_gnn_tpu.core.graph import Graph
+    from sgs_gnn_tpu.utils.debug import validate_graph
+    import pytest as _pytest
+    n, e = 30, 300
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    g = Graph.build(x, np.stack([s, r]), y, sort_by_receiver=True)
+    validate_graph(g)                                   # correct band passes
+    bad = g.replace(receiver_band=8) if g.receiver_band > 8 else g
+    if bad.receiver_band < g.receiver_band:
+        with _pytest.raises(ValueError, match="band"):
+            validate_graph(bad)
+    # unsorted receivers with a declared band must fail
+    g2 = Graph.build(x, np.stack([s, r]), y).replace(receiver_band=64)
+    with _pytest.raises(ValueError, match="sorted"):
+        validate_graph(g2)
+
+
+def test_segment_profiler_names_and_values(rng, small_graph):
+    from sgs_gnn_tpu.core.config import Config
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.utils.profiler import make_segment_profiler, SegmentTimer
+    import jax as _jax
+    g = small_graph
+    cfg = Config(mode="learned", pipeline="hybrid", conditional=True)
+    q = 100
+    model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                      cfg.drop_rate, cfg.edge_mlp_type, dtype=cfg.dtype)
+    params = init_params(model, _jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    prof = make_segment_profiler(cfg, model, q)
+    ms = prof(params, g, _jax.random.PRNGKey(1))
+    assert set(ms) == set(SegmentTimer.SEGMENTS)
+    assert all(v >= 0 for v in ms.values())
+    # non-learned mode: scorer segments report zero
+    cfg2 = Config(mode="random")
+    prof2 = make_segment_profiler(cfg2, model, q)
+    ms2 = prof2(params, g, _jax.random.PRNGKey(2))
+    assert ms2["edge_mlp_pre"] == 0.0 and ms2["edge_score"] == 0.0
+    assert ms2["backward"] > 0

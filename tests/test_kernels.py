@@ -189,3 +189,53 @@ def test_gcn_norm_terms_matches_concat_form(rng):
     np.add.at(dense_e, (np.asarray(r), np.asarray(s)), np.asarray(norm))
     got = dense_e @ np.asarray(x) + np.asarray(loop_coef)[:, None] * np.asarray(x)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_pallas_interpret_matches_xla(rng):
+    from sgs_gnn_tpu.ops.spmm_pallas import _spmm_pallas_impl
+    from sgs_gnn_tpu.ops.spmm import spmm_xla
+    for e, n, f in [(700, 40, 32), (256, 8, 8), (3, 5, 16), (1, 1, 8)]:
+        s = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        r = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        w = jnp.asarray(rng.random(e).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        out = _spmm_pallas_impl(s, r, w, x, n, block=256, interpret=True)
+        ref = spmm_xla(s, r, w, x, n)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_pallas_grad_matches_xla(rng):
+    from sgs_gnn_tpu.ops.spmm_pallas import _spmm_pallas_core
+    from sgs_gnn_tpu.ops.spmm import spmm_xla
+    e, n, f = 300, 20, 16
+    s = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+
+    def loss_p(w_, x_):
+        return jnp.sum(jnp.sin(_spmm_pallas_core(n, True, s, r, w_, x_)))
+
+    def loss_x(w_, x_):
+        return jnp.sum(jnp.sin(spmm_xla(s, r, w_, x_, n)))
+
+    gw1, gx1 = jax.grad(loss_p, argnums=(0, 1))(w, x)
+    gw2, gx2 = jax.grad(loss_x, argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_spmm_backend_dispatch_no_crash(rng):
+    # backend="pallas" must never ImportError; off-TPU it falls back to XLA
+    from sgs_gnn_tpu.ops.spmm import spmm
+    e, n, f = 50, 10, 8
+    s = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    out = spmm(s, r, w, x, n, backend="pallas")
+    ref = spmm(s, r, w, x, n, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
