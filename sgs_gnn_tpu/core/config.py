@@ -95,6 +95,15 @@ class Config:
     debug_checks: bool = False    # validate graph batches at prep time
     data_parallel: str = 'off'    # 'on' = shard partitions over the mesh
                                   # (synchronous grad-psum superset mode)
+    halo: bool = False            # halo-exchange mode: FULL-GRAPH semantics
+                                  # with partitioned storage (parallel/
+                                  # halo_train.py); GCN backbone only
+    # multi-host execution (jax.distributed over ICI x DCN); one process per
+    # host, each loading its own partition group (parallel/distributed.py)
+    multihost: bool = False
+    coordinator_address: str = ''  # host:port of process 0
+    num_processes: int = 1
+    process_id: int = 0
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True
@@ -159,3 +168,12 @@ class Config:
         check(self.num_partitions >= 0,
               f"num_partitions={self.num_partitions} must be >= 0")
         check(self.seed >= 0, f"seed={self.seed} must be >= 0")
+        check(not self.halo or self.GNN == 'GCN',
+              f"halo mode implements the GCN backbone, got GNN={self.GNN!r}")
+        check(not self.halo or self.pipeline == 'hybrid'
+              or self.mode != 'learned',
+              "halo learned mode runs the hybrid pipeline")
+        check(not self.multihost or self.num_processes >= 1,
+              f"num_processes={self.num_processes} must be >= 1")
+        check(0 <= self.process_id < max(self.num_processes, 1),
+              f"process_id={self.process_id} not in [0, {self.num_processes})")

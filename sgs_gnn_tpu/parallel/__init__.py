@@ -1,6 +1,10 @@
 from .mesh import make_mesh, device_count
 from .partitioned import (stack_batches, make_parallel_train_step,
                           make_parallel_eval_step)
+from .halo_train import (HaloBatch, build_halo_batch, shard_halo_batch,
+                         make_halo_train_step, make_halo_eval_step)
 
 __all__ = ["make_mesh", "device_count", "stack_batches",
-           "make_parallel_train_step", "make_parallel_eval_step"]
+           "make_parallel_train_step", "make_parallel_eval_step",
+           "HaloBatch", "build_halo_batch", "shard_halo_batch",
+           "make_halo_train_step", "make_halo_eval_step"]

@@ -1,0 +1,539 @@
+"""Halo-exchange training: FULL-GRAPH semantics with partitioned storage.
+
+The reference's cluster batching drops inter-cluster edges (ClusterData
+keep_inter_cluster_edges=False, reference main.py:63), which
+parallel/partitioned.py reproduces for parity. This module is the superset
+mode (SURVEY.md section 2.5 "halo exchange"): each device owns
+
+  * a node shard (features, labels, masks) and
+  * ALL edges arriving at its nodes — including inter-partition ones.
+
+Per GCN layer the dense projection runs node-parallel on the local shard,
+then the PROJECTED features are all-gathered over ICI (the halo exchange —
+gathering after the projection moves H-dim rows instead of F-dim, F/H x less
+traffic for F > nhid) and aggregation is a local segment-sum over the
+device's inbound edges. Degrees are weighted in-degrees, which are local by
+construction; only the N-vector of d^{-1/2} is exchanged. The result is
+numerically the full-graph GCN (test_halo.py parity tests).
+
+The train step runs the complete learned pipeline (hybrid fast-rescore
+dataflow) with per-shard edge sampling: each device samples q_loc of its own
+inbound edges, mirroring the per-partition q of the reference driver
+(main.py:50). Losses are global means assembled from per-shard sums with
+``psum``; the conditional gate compares GLOBAL train-F1 of the learned vs
+random forwards (the full-graph analogue of training_hybrid.py:98-141);
+gradients are ``psum``-reduced and one replicated dual-Adam update applies.
+
+Because the model is re-expressed as sharded collectives, the flax modules
+cannot be applied directly; the forward is re-implemented functionally from
+the same parameter pytree (names pinned by the dual-optimizer contract,
+models/backbones.py docstring) and pinned to the module implementations by
+the allclose parity tests. Supported: GNN=GCN backbone with GCN/MLP/GSAGE
+scorers — the reference's defaults and headline configuration.
+
+Exchange strategy is v1 all_gather (simple, correct; bandwidth 2x a ring's
+optimum). The tables are static per run, so the whole step jits to one
+executable with the collectives scheduled by XLA.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax import shard_map
+
+from ..core.config import Config
+from ..sparsify.sampling import (sample_edges, sample_prior_edges,
+                                 random_edges, temperature_at)
+from ..train.optim import DualOptimizer
+from ..train.pipelines import StepMetrics
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["x", "senders_flat", "receivers_loc", "edge_mask",
+                      "y", "train_mask", "val_mask", "test_mask", "prob",
+                      "node_mask"],
+         meta_fields=["num_nodes", "num_classes", "q_loc"])
+@dataclasses.dataclass(frozen=True)
+class HaloBatch:
+    """Stacked per-device halo shards, shape (D, ...), sharded on axis 0.
+
+    senders_flat holds FLAT coordinates (device*N_loc + local index) into
+    the all-gathered feature matrix; receivers_loc are local indices into
+    the owning device's shard. Padding edge slots have edge_mask False and
+    point at slot 0 with zero prior; padding node slots have all masks
+    False and zero features.
+    """
+    x: jax.Array              # (D, N_loc, F)
+    senders_flat: jax.Array   # (D, E_loc) int32
+    receivers_loc: jax.Array  # (D, E_loc) int32
+    edge_mask: jax.Array      # (D, E_loc) bool
+    y: jax.Array              # (D, N_loc) int32
+    train_mask: jax.Array     # (D, N_loc) bool
+    val_mask: jax.Array       # (D, N_loc) bool
+    test_mask: jax.Array      # (D, N_loc) bool
+    prob: jax.Array           # (D, E_loc) f32 sampling prior (0 on padding)
+    node_mask: jax.Array      # (D, N_loc) bool
+    num_nodes: int = 0        # global N (before padding)
+    num_classes: int = 0
+    q_loc: int = 0            # per-device sampled-edge budget
+
+    @property
+    def n_devices(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def valid_edges(self) -> int:
+        return int(np.asarray(jnp.sum(self.edge_mask)))
+
+
+def build_halo_batch(x, edge_index, y, train_mask, val_mask, test_mask,
+                     prob, num_parts: int, num_classes: int,
+                     sample_perc: float = 0.2,
+                     part: Optional[np.ndarray] = None) -> HaloBatch:
+    """Host-side one-time construction of the halo tables.
+
+    ``part`` is a node->partition assignment; default METIS-style native
+    partitioner (data/partition.py). Every device receives all inbound
+    edges of its nodes — inter-partition edges included, unlike
+    induced_subgraphs (the drop-edges parity mode)."""
+    from ..data.partition import partition_nodes
+
+    x = np.asarray(x, np.float32)
+    edge_index = np.asarray(edge_index, np.int64)
+    n = x.shape[0]
+    if part is None:
+        part = partition_nodes(edge_index, n, num_parts, method="native")
+    part = np.asarray(part)
+    s_all, r_all = edge_index
+    nodes = [np.where(part == p)[0] for p in range(num_parts)]
+    n_loc = max(max(len(v) for v in nodes), 1)
+    local_of = -np.ones(n, np.int64)
+    flat_of = -np.ones(n, np.int64)
+    for p in range(num_parts):
+        local_of[nodes[p]] = np.arange(len(nodes[p]))
+        flat_of[nodes[p]] = p * n_loc + np.arange(len(nodes[p]))
+
+    edge_sets = [np.where(part[r_all] == p)[0] for p in range(num_parts)]
+    e_loc = max(max(len(v) for v in edge_sets), 1)
+
+    def zeros(shape, dt):
+        return np.zeros(shape, dt)
+
+    xs = zeros((num_parts, n_loc, x.shape[1]), np.float32)
+    sf = zeros((num_parts, e_loc), np.int32)
+    rl = zeros((num_parts, e_loc), np.int32)
+    em = zeros((num_parts, e_loc), bool)
+    ys = zeros((num_parts, n_loc), np.int32)
+    tm = zeros((num_parts, n_loc), bool)
+    vm = zeros((num_parts, n_loc), bool)
+    te = zeros((num_parts, n_loc), bool)
+    pr = zeros((num_parts, e_loc), np.float32)
+    nm = zeros((num_parts, n_loc), bool)
+    prob = (np.full(len(s_all), 1.0 / max(len(s_all), 1), np.float32)
+            if prob is None else np.asarray(prob, np.float32))
+    for p in range(num_parts):
+        k = len(nodes[p])
+        xs[p, :k] = x[nodes[p]]
+        ys[p, :k] = np.asarray(y)[nodes[p]]
+        tm[p, :k] = np.asarray(train_mask)[nodes[p]]
+        vm[p, :k] = np.asarray(val_mask)[nodes[p]]
+        te[p, :k] = np.asarray(test_mask)[nodes[p]]
+        nm[p, :k] = True
+        eidx = edge_sets[p]
+        sf[p, :len(eidx)] = flat_of[s_all[eidx]]
+        rl[p, :len(eidx)] = local_of[r_all[eidx]]
+        em[p, :len(eidx)] = True
+        pr[p, :len(eidx)] = prob[eidx]
+
+    min_valid = min(max(len(v), 1) for v in edge_sets)
+    q_loc = max(1, int(sample_perc * min_valid))
+    return HaloBatch(
+        x=jnp.asarray(xs), senders_flat=jnp.asarray(sf),
+        receivers_loc=jnp.asarray(rl), edge_mask=jnp.asarray(em),
+        y=jnp.asarray(ys), train_mask=jnp.asarray(tm),
+        val_mask=jnp.asarray(vm), test_mask=jnp.asarray(te),
+        prob=jnp.asarray(pr), node_mask=jnp.asarray(nm),
+        num_nodes=n, num_classes=int(num_classes), q_loc=q_loc)
+
+
+def shard_halo_batch(hb: HaloBatch, mesh: Mesh) -> HaloBatch:
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), hb)
+
+
+# ---------------------------------------------------------------------------
+# Functional sharded forward (parameter names per models/backbones.py)
+# ---------------------------------------------------------------------------
+
+
+def _dense(p, x, dtype):
+    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def _dropout(key, x, rate: float, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _halo_gcn_conv(lp, x_loc, s_flat, r_loc, w, emask, axis, dtype):
+    """One GCN layer with halo exchange == GCNConv(models/layers.py:28-54):
+    D^{-1/2}(A+I)D^{-1/2} X W + b with weighted in-degree + self-loop fill 1,
+    projection in `dtype`, f32 aggregation, analytic diagonal term."""
+    n_loc = x_loc.shape[0]
+    xw = (x_loc.astype(dtype) @ lp["lin"]["kernel"].astype(dtype))
+    mf = emask.astype(jnp.float32)
+    ww = mf if w is None else w.astype(jnp.float32) * mf
+    deg = jax.ops.segment_sum(ww, r_loc, num_segments=n_loc) + 1.0
+    dis_loc = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-32)), 0.0)
+    # halo exchange: d^{-1/2} (N scalars) + projected features (N_loc, H)
+    dis_all = jax.lax.all_gather(dis_loc, axis, tiled=True)
+    xw_all = jax.lax.all_gather(xw, axis, tiled=True)
+    norm = dis_all[s_flat] * ww * dis_loc[r_loc]
+    msgs = xw_all[s_flat].astype(jnp.float32) * norm[:, None]
+    out = jax.ops.segment_sum(msgs, r_loc, num_segments=n_loc)
+    out = out + (dis_loc * dis_loc)[:, None] * xw.astype(jnp.float32)
+    return out + lp["bias"].astype(jnp.float32)
+
+
+def _halo_sage_conv(lp, x_loc, s_flat, r_loc, emask, axis, dtype):
+    """SAGEConv (models/layers.py:57-72): W_l mean_in(x) + W_r x."""
+    n_loc = x_loc.shape[0]
+    x_all = jax.lax.all_gather(x_loc, axis, tiled=True)
+    mf = emask.astype(jnp.float32)
+    msgs = x_all[s_flat].astype(jnp.float32) * mf[:, None]
+    s = jax.ops.segment_sum(msgs, r_loc, num_segments=n_loc)
+    cnt = jax.ops.segment_sum(mf, r_loc, num_segments=n_loc)
+    agg = s / jnp.maximum(cnt, 1.0)[:, None]
+    out = _dense(lp["lin_l"], agg, dtype) + _dense(lp["lin_r"], x_loc, dtype)
+    return out.astype(jnp.float32)
+
+
+def halo_gnn_forward(pr, hb_loc, s_flat, r_loc, w, emask, axis, dtype,
+                     drop_rate, key=None):
+    """GCN backbone forward (models/backbones.py GNNModel) on local shard."""
+    det = key is None
+    k = jax.random.PRNGKey(0) if det else key
+    h = jax.nn.relu(_halo_gcn_conv(pr["gcn1"], hb_loc, s_flat, r_loc, w,
+                                   emask, axis, dtype))
+    h = _dropout(k, h, drop_rate, det)
+    return _halo_gcn_conv(pr["gcn2"], h, s_flat, r_loc, w, emask, axis,
+                          dtype)
+
+
+def halo_scorer_encode(sp, x_loc, s_flat, r_loc, emask, axis, dtype,
+                       edge_mlp_type, drop_rate, key=None):
+    """Scorer encoder (models/scorers.py encode) on the local shard."""
+    det = key is None
+    k1, k2 = jax.random.split(key) if not det else (None, None)
+    if edge_mlp_type == "GCN":
+        h = _halo_gcn_conv(sp["gcn1"], x_loc, s_flat, r_loc, None, emask,
+                           axis, dtype)
+        h = _dropout(k1, jax.nn.relu(h), drop_rate, det)
+        h = jax.nn.relu(_halo_gcn_conv(sp["gcn2"], h, s_flat, r_loc, None,
+                                       emask, axis, dtype))
+    elif edge_mlp_type == "MLP":
+        h = jax.nn.relu(_dense(sp["fcdim"], x_loc, dtype))
+        h = _dropout(k1, h, drop_rate, det)
+    elif edge_mlp_type == "GSAGE":
+        h = _halo_sage_conv(sp["gcn1"], x_loc, s_flat, r_loc, emask, axis,
+                            dtype)
+        h = _dropout(k1, jax.nn.relu(h), drop_rate, det)
+    else:
+        raise NotImplementedError(edge_mlp_type)
+    return h.astype(dtype)
+
+
+def halo_score_head(sp, h_loc, s_flat, r_loc, axis, dtype, drop_rate,
+                    key=None):
+    """Score head (models/scorers._ScoreHead) over local inbound edges;
+    sender embeddings arrive via one halo all_gather of h."""
+    det = key is None
+    h_all = jax.lax.all_gather(h_loc, axis, tiled=True)
+    hu = h_all[s_flat].astype(dtype)
+    hv = h_loc[r_loc].astype(dtype)
+    feats = jnp.concatenate([hu * hv, hu - hv], axis=-1)
+    z = jax.nn.relu(_dense(sp["head"]["fc1"], feats, dtype))
+    z = _dropout(key if not det else jax.random.PRNGKey(0), z, drop_rate,
+                 det)
+    logit = _dense(sp["head"]["fc2"], z, dtype)
+    return jax.nn.sigmoid(logit.astype(jnp.float32)).squeeze(-1)
+
+
+# ---------------------------------------------------------------------------
+# Global (psum-assembled) losses and metrics
+# ---------------------------------------------------------------------------
+
+
+def _global_masked_ce(logits, labels, mask, axis):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    m = mask.astype(nll.dtype)
+    s = jax.lax.psum(jnp.sum(nll * m), axis)
+    c = jax.lax.psum(jnp.sum(m), axis)
+    return s / jnp.maximum(c, 1.0)
+
+
+def _global_micro_f1(logits, labels, mask, axis):
+    preds = jnp.argmax(logits, axis=-1)
+    hit = (preds == labels).astype(jnp.float32) * mask.astype(jnp.float32)
+    s = jax.lax.psum(jnp.sum(hit), axis)
+    c = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis)
+    return s / jnp.maximum(c, 1.0)
+
+
+def _global_assortative_bce(edge_probs, hu_train, hv_train, same, axis):
+    """reg1 (train/losses.assortative_bce) with psum-global reduction and
+    the reference's global >1-positives gate."""
+    labels = same.astype(edge_probs.dtype)
+    p = jnp.clip(edge_probs, 1e-38, 1.0 - 1e-7)
+    bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    valid = (hu_train & hv_train).astype(edge_probs.dtype)
+    s = jax.lax.psum(jnp.sum(bce * valid), axis)
+    c = jax.lax.psum(jnp.sum(valid), axis)
+    n_pos = jax.lax.psum(jnp.sum(labels * valid), axis)
+    return jnp.where(n_pos > 1.0, s / jnp.maximum(c, 1.0), 0.0)
+
+
+def _global_consistency(edge_probs, emb_u, emb_v, axis, n_total):
+    num = jnp.sum(emb_u * emb_v, axis=-1)
+
+    def safe_norm(v):
+        return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-16))
+
+    denom = jnp.maximum(safe_norm(emb_u), 1e-8) * \
+        jnp.maximum(safe_norm(emb_v), 1e-8)
+    cos = num / denom
+    s = jax.lax.psum(jnp.sum((edge_probs - cos) ** 2), axis)
+    return s / n_total
+
+
+# ---------------------------------------------------------------------------
+# Train / eval steps
+# ---------------------------------------------------------------------------
+
+
+def _check_supported(cfg: Config):
+    if cfg.GNN != "GCN":
+        raise NotImplementedError(
+            f"halo mode implements the GCN backbone (got {cfg.GNN}); other "
+            "backbones run in the drop-edges parallel mode")
+    if cfg.mode == "learned" and cfg.edge_mlp_type not in ("GCN", "MLP",
+                                                           "GSAGE"):
+        raise NotImplementedError(cfg.edge_mlp_type)
+
+
+def make_halo_train_step(cfg: Config, opt: DualOptimizer, max_epoch: int,
+                         mesh: Mesh, axis: str = "data"):
+    """Jitted halo train step: (params, opt_state, hb, epoch, key) ->
+    (params, opt_state, StepMetrics). hb sharded on axis 0, params/opt
+    replicated. Learned mode runs the hybrid fast-rescore dataflow
+    (train/pipelines.py) with per-shard q_loc sampling; the scorer
+    propagates on the full (halo) graph. full/random/edge modes mirror
+    train/pipelines.baseline_step with global-graph semantics."""
+    _check_supported(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    mode = cfg.mode
+
+    def local_loss(p, hb: HaloBatch, key):
+        pr = p["params"]
+        x = hb.x[0]
+        s_flat = hb.senders_flat[0]
+        r_loc = hb.receivers_loc[0]
+        emask = hb.edge_mask[0]
+        y = hb.y[0]
+        tmask = hb.train_mask[0]
+        prob = hb.prob[0]
+        q_loc = hb.q_loc
+        me = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, me)
+        k_rand, k_sample, k_s1, k_s2, k_g1, k_g2 = jax.random.split(key, 6)
+        # train-mask/labels of remote senders (N-vector halo, cheap)
+        y_all = jax.lax.all_gather(y, axis, tiled=True)
+        t_all = jax.lax.all_gather(tmask, axis, tiled=True)
+
+        if mode == "learned":
+            h = halo_scorer_encode(pr["edge_prob_mlp"], x, s_flat, r_loc,
+                                   emask, axis, dtype, cfg.edge_mlp_type,
+                                   cfg.drop_rate, key=k_s1)
+            probs_sample = jax.lax.stop_gradient(halo_score_head(
+                pr["edge_prob_mlp"], jax.lax.stop_gradient(h), s_flat,
+                r_loc, axis, dtype, cfg.drop_rate, key=k_s1))
+            idx, _ = sample_edges(k_sample, probs_sample, prob, q_loc,
+                                  cfg.degree_bias_coef, edge_mask=emask,
+                                  approx=cfg.approx_topk)
+            s_s, s_r = s_flat[idx], r_loc[idx]
+            weights = halo_score_head(pr["edge_prob_mlp"], h, s_s, s_r,
+                                      axis, dtype, cfg.drop_rate, key=k_s2)
+            ones_mask = jnp.ones(q_loc, bool)
+            out = halo_gnn_forward(pr, x, s_s, s_r, weights, ones_mask,
+                                   axis, dtype, cfg.drop_rate, key=k_g1)
+            loss = _global_masked_ce(out, y, tmask, axis)
+            if cfg.reg1:
+                loss = loss + cfg.regularizer1_coef * _global_assortative_bce(
+                    weights, t_all[s_s], tmask[s_r],
+                    y_all[s_s] == y[s_r], axis)
+            if cfg.reg2:
+                out_all = jax.lax.all_gather(out, axis, tiled=True)
+                loss = loss + cfg.consist_reg_coef * _global_consistency(
+                    weights, out_all[s_s], out[s_r], axis,
+                    q_loc * hb.n_devices)
+            if cfg.conditional:
+                r_idx = sample_prior_edges(k_rand, prob, q_loc, emask,
+                                           approx=cfg.approx_topk)
+                rand_out = halo_gnn_forward(
+                    pr, x, s_flat[r_idx], r_loc[r_idx], None,
+                    jnp.ones(q_loc, bool), axis, dtype, cfg.drop_rate,
+                    key=k_g2)
+                lf1 = _global_micro_f1(out, y, tmask, axis)
+                rf1 = _global_micro_f1(rand_out, y, tmask, axis)
+                gate = jax.lax.stop_gradient(lf1 > rf1)
+                loss_rand = _global_masked_ce(rand_out, y, tmask, axis)
+                total = jnp.where(gate, loss, loss_rand)
+            else:
+                gate = jnp.asarray(True)
+                lf1 = rf1 = jnp.zeros(())
+                total = loss
+            return total, (gate, lf1, rf1)
+
+        # baseline modes
+        if mode == "full":
+            s_s, s_r, msk = s_flat, r_loc, emask
+        elif mode == "random":
+            idx = random_edges(k_rand, emask.shape[0], q_loc, edge_mask=emask,
+                               approx=cfg.approx_topk)
+            s_s, s_r, msk = s_flat[idx], r_loc[idx], jnp.ones(q_loc, bool)
+        elif mode == "edge":
+            idx = sample_prior_edges(k_rand, prob, q_loc, emask,
+                                     approx=cfg.approx_topk)
+            s_s, s_r, msk = s_flat[idx], r_loc[idx], jnp.ones(q_loc, bool)
+        else:
+            raise ValueError(mode)
+        out = halo_gnn_forward(pr, x, s_s, s_r, None, msk, axis, dtype,
+                               cfg.drop_rate, key=k_g1)
+        loss = _global_masked_ce(out, y, tmask, axis)
+        return loss, (jnp.asarray(False), jnp.zeros(()), jnp.zeros(()))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P(), P()),
+             out_specs=(P(), P(), P()),
+             check_vma=False)
+    def step(params, opt_state, hb, epoch, key):
+        (loss, (gate, lf1, rf1)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, hb, key)
+        # local_loss is the GLOBAL loss (assembled with psums) replicated on
+        # every shard, so AD effectively differentiates D*L: each device's
+        # loss output is seeded 1 and the forward psum's transpose sums the
+        # D seeds. Each shard's grads carry its local producer paths with a
+        # uniform factor D -> pmean (== psum / D) yields d(global)/dp.
+        grads = jax.lax.pmean(grads, axis)
+        t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
+        if mode == "learned":
+            params2, opt_state2 = opt.step_learned(params, grads, opt_state,
+                                                   gate)
+        else:
+            params2, opt_state2 = opt.step_all(params, grads, opt_state)
+        metrics = StepMetrics(loss, t, gate.astype(jnp.float32), lf1, rf1)
+        return params2, opt_state2, metrics
+
+    return jax.jit(step)
+
+
+def halo_full_forward(cfg: Config, params, hb: HaloBatch, mesh: Mesh,
+                      axis: str = "data"):
+    """Deterministic full-graph GCN forward on halo shards -> (D, N_loc, C)
+    logits. Parity surface for tests and the predict/serve path."""
+    _check_supported(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis)),
+             out_specs=P(axis), check_vma=False)
+    def fwd(p, hb_):
+        out = halo_gnn_forward(p["params"], hb_.x[0], hb_.senders_flat[0],
+                               hb_.receivers_loc[0], None, hb_.edge_mask[0],
+                               axis, dtype, cfg.drop_rate, key=None)
+        return out[None]
+
+    return fwd(params, hb)
+
+
+def make_halo_eval_step(cfg: Config, mesh: Mesh, axis: str = "data"):
+    """Halo ensemble eval: deterministic scorer once, num_samples_eval
+    sampled draws vmapped per shard, logits averaged, global per-split F1
+    sums via psum (same contract as eval/evaluate.make_eval_step)."""
+    _check_supported(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    mode = cfg.mode
+    n_draws = cfg.num_samples_eval
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P(), P()),
+             out_specs=P(), check_vma=False)
+    def eval_step(params, hb, key, temperature):
+        pr = params["params"]
+        x = hb.x[0]
+        s_flat = hb.senders_flat[0]
+        r_loc = hb.receivers_loc[0]
+        emask = hb.edge_mask[0]
+        q_loc = hb.q_loc
+        me = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, me)
+
+        def forward(s, r, w, msk):
+            return halo_gnn_forward(pr, x, s, r, w, msk, axis, dtype,
+                                    cfg.drop_rate, key=None)
+
+        if mode == "full":
+            logits = forward(s_flat, r_loc, None, emask)
+        else:
+            if mode == "learned":
+                h = halo_scorer_encode(pr["edge_prob_mlp"], x, s_flat,
+                                       r_loc, emask, axis, dtype,
+                                       cfg.edge_mlp_type, cfg.drop_rate)
+                probs = halo_score_head(pr["edge_prob_mlp"], h, s_flat,
+                                        r_loc, axis, dtype, cfg.drop_rate)
+
+            def draw(k):
+                if mode == "learned":
+                    idx, w = sample_edges(k, probs, hb.prob[0], q_loc,
+                                          cfg.degree_bias_coef, istest=True,
+                                          edge_mask=emask,
+                                          approx=cfg.approx_topk)
+                elif mode == "random":
+                    idx = random_edges(k, emask.shape[0], q_loc,
+                                       edge_mask=emask,
+                                       approx=cfg.approx_topk)
+                    w = None
+                else:  # edge
+                    idx = sample_prior_edges(k, hb.prob[0], q_loc, emask,
+                                             approx=cfg.approx_topk)
+                    w = None
+                return forward(s_flat[idx], r_loc[idx], w,
+                               jnp.ones(q_loc, bool))
+
+            logits = jnp.mean(
+                jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)
+
+        out = {}
+        for split, mask in (("train", hb.train_mask[0]),
+                            ("val", hb.val_mask[0]),
+                            ("test", hb.test_mask[0])):
+            m = mask.astype(jnp.float32)
+            hit = (jnp.argmax(logits, -1) == hb.y[0]).astype(jnp.float32)
+            out[f"{split}_f1_weighted"] = jax.lax.psum(
+                jnp.sum(hit * m), axis)
+            out[f"{split}_count"] = jax.lax.psum(jnp.sum(m), axis)
+        # report weighted sum == f1 * count so aggregate_eval composes
+        return out
+
+    return jax.jit(eval_step)

@@ -104,6 +104,17 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.debug_checks)
     p.add_argument('--data_parallel', type=str, default=d.data_parallel,
                    choices=['off', 'on'])
+    p.add_argument('--halo', type=str2bool, nargs='?', const=True,
+                   default=d.halo,
+                   help='halo-exchange mode: full-graph semantics with '
+                        'partitioned storage over the mesh')
+    p.add_argument('--multihost', type=str2bool, nargs='?', const=True,
+                   default=d.multihost,
+                   help='initialize jax.distributed and run over all hosts')
+    p.add_argument('--coordinator_address', type=str,
+                   default=d.coordinator_address)
+    p.add_argument('--num_processes', type=int, default=d.num_processes)
+    p.add_argument('--process_id', type=int, default=d.process_id)
     p.add_argument('--platform', type=str, default='',
                    help="force a JAX platform (e.g. 'cpu') before any "
                         "computation; empty = environment default")

@@ -86,6 +86,8 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     cfg.validate()
     if ds is None:
         ds = get_dataset(cfg)
+    if cfg.halo:
+        return run_experiment_halo(cfg, ds, log_fn)
     if cfg.data_parallel == "on":
         return run_experiment_parallel(cfg, ds, log_fn)
     batches, q = prepare_batches(cfg, ds)
@@ -464,6 +466,118 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
                                for b in batches)
                            / max(res.mean_epoch_time, 1e-9))
             log_fn(f"[stats] pipeline={cfg.pipeline} run={run} parallel={n_dev} "
+                   f"train_time_sec={res.train_time_sec:.4f} "
+                   f"edges_per_s={edges_per_s:.0f} "
+                   f"best_val_f1={res.final_val_f1:.4f} "
+                   f"best_test_f1={res.final_test_f1:.4f}")
+        if cfg.save_csv:
+            _append_csv(cfg, ds, run, res)
+        results.append(res)
+
+    _summary(cfg, results, log_fn)
+    return results
+
+
+def run_experiment_halo(cfg: Config, ds: HostDataset,
+                        log_fn=print) -> List[RunResult]:
+    """Halo-exchange experiment (`--halo`): every device owns a node shard
+    plus ALL its inbound edges; per-layer halo exchanges make partitioned
+    execution compute FULL-GRAPH semantics (parallel/halo_train.py) — the
+    superset of the reference's drop-inter-cluster-edges batching
+    (reference main.py:63). One synchronized step per epoch; reporting,
+    best-val selection, and the stats/CSV surface mirror run_experiment."""
+    from flax import serialization
+    from ..parallel import (make_mesh, device_count, build_halo_batch,
+                            shard_halo_batch, make_halo_train_step,
+                            make_halo_eval_step)
+
+    n_dev = device_count()
+    mesh = make_mesh(n_dev)
+    hb = build_halo_batch(ds.x, ds.edge_index, ds.y, ds.train_mask,
+                          ds.val_mask, ds.test_mask, ds.prob, n_dev,
+                          ds.num_classes, sample_perc=cfg.sample_perc)
+    valid_edges = hb.valid_edges
+    hb = shard_halo_batch(hb, mesh)
+    if cfg.log:
+        log_fn(f"dataset={ds.name} N={ds.num_nodes} E={ds.num_edges} "
+               f"halo devices={n_dev} q_loc={hb.q_loc}")
+
+    model = get_model(cfg.GNN, ds.x.shape[1], cfg.nhid, ds.num_classes,
+                      cfg.drop_rate, cfg.edge_mlp_type,
+                      heads=cfg.gat_heads, dtype=cfg.dtype)
+    results: List[RunResult] = []
+    root_key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
+    # init on a bounded slice: param shapes depend only on feature/class dims
+    n_init = min(ds.num_nodes, 2048)
+    e_init = np.minimum(
+        np.asarray(ds.edge_index[:, :min(ds.num_edges, 4096)]), n_init - 1)
+
+    for run in range(cfg.runs):
+        run_key = jax.random.fold_in(root_key, run + 1)
+        params = init_params(model, jax.random.PRNGKey(cfg.seed * 1000 + run),
+                             jnp.asarray(ds.x[:n_init]),
+                             jnp.asarray(e_init[0]), jnp.asarray(e_init[1]))
+        opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+        opt_state = opt.init(params)
+        step = make_halo_train_step(cfg, opt, cfg.epochs, mesh)
+        ev = make_halo_eval_step(cfg, mesh)
+
+        res = RunResult()
+        best_params_bytes = None
+        best_temp = 0.0
+        epoch_times: List[float] = []
+        num_iteration = cfg.epochs
+
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            res.total_updates += 1
+            params, opt_state, m = step(
+                params, opt_state, hb, jnp.asarray(epoch),
+                jax.random.fold_in(run_key, epoch + 1))
+            loss = float(m.loss)      # single sync point per epoch
+            temp = float(m.temperature)
+            res.conditional_updates += int(m.conditional_update)
+            res.losses.append(loss)
+            epoch_times.append(time.time() - t0)
+
+            if cfg.eval:
+                agg = aggregate_eval([ev(params, hb,
+                                         jax.random.fold_in(run_key,
+                                                            2**30 + epoch),
+                                         jnp.asarray(temp))])
+                res.train_curve.append(agg["train_f1"])
+                res.val_curve.append(agg["val_f1"])
+                res.test_curve.append(agg["test_f1"])
+                if agg["val_f1"] >= res.best_val_f1:
+                    res.best_val_f1 = agg["val_f1"]
+                    res.test_at_best_val = agg["test_f1"]
+                    best_params_bytes = serialization.to_bytes(params)
+                    best_temp = temp
+                res.best_test_f1 = max(res.best_test_f1, agg["test_f1"])
+
+            if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
+                num_iteration = epoch + 1
+                break
+
+        res.num_iterations = num_iteration
+        res.train_time_sec = float(np.sum(epoch_times))
+        res.mean_epoch_time = float(np.mean(epoch_times)) if epoch_times else 0.0
+        if best_params_bytes is not None:
+            params = serialization.from_bytes(params, best_params_bytes)
+        agg = aggregate_eval([ev(params, hb,
+                                 jax.random.fold_in(run_key, 2**31 - 1),
+                                 jnp.asarray(best_temp))])
+        res.final_train_f1 = agg["train_f1"]
+        res.final_val_f1 = agg["val_f1"]
+        res.final_test_f1 = agg["test_f1"]
+        log_fn(f"Run: {run} (halo x{n_dev})")
+        log_fn(f"Mean epoch time of run {res.mean_epoch_time:.4f}")
+        log_fn(f"EdgeMLP updated {res.conditional_updates}/{res.total_updates}")
+        log_fn(f"Best Test F1 after loading saved model: "
+               f"{res.final_test_f1:.4f}")
+        if cfg.stats:
+            edges_per_s = valid_edges / max(res.mean_epoch_time, 1e-9)
+            log_fn(f"[stats] pipeline={cfg.pipeline} run={run} halo={n_dev} "
                    f"train_time_sec={res.train_time_sec:.4f} "
                    f"edges_per_s={edges_per_s:.0f} "
                    f"best_val_f1={res.final_val_f1:.4f} "

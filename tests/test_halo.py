@@ -46,3 +46,147 @@ def test_halo_spmm_matches_full_graph():
         valid = hp.node_map[p] >= 0
         got[hp.node_map[p][valid]] = y_np[p][valid]
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def _setup_halo(d=4, n=200, mode="full", seed=0, **cfg_kw):
+    from sgs_gnn_tpu.core.config import Config
+    from sgs_gnn_tpu.data.transforms import train_val_test_masks
+    from sgs_gnn_tpu.parallel import build_halo_batch, make_mesh
+    x, ei, y, _ = sbm_graph(n=n, num_classes=4, deg=8, h=0.7, feat_dim=16,
+                            seed=seed)
+    ei = to_undirected(ei)
+    tm, vm, te = train_val_test_masks(n)
+    part = partition_nodes(ei, n, d)
+    cfg_kw.setdefault("drop_rate", 0.0)
+    cfg = Config(mode=mode, GNN="GCN", dataset="SyntheticSBM",
+                 **cfg_kw)
+    hb = build_halo_batch(x, ei, y, tm, vm, te, None, d, 4,
+                          sample_perc=cfg.sample_perc, part=part)
+    mesh = make_mesh(d)
+    return cfg, hb, mesh, (x, ei, y, tm, vm, te, part)
+
+
+def test_halo_forward_matches_model_apply():
+    """Halo-partitioned GCN forward == single-device full-graph forward."""
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.parallel.halo_train import halo_full_forward
+    d = 4
+    cfg, hb, mesh, (x, ei, y, *_ , part) = _setup_halo(d=d)
+    n = x.shape[0]
+    model = get_model("GCN", x.shape[1], 32, 4, dropout_prob=0.0)
+    params = init_params(model, jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    want = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(ei[0]),
+                                  jnp.asarray(ei[1]), None,
+                                  deterministic=True))
+    cfg = cfg.replace(nhid=32)
+    got_sh = np.asarray(halo_full_forward(cfg, params, hb, mesh))
+    # map shard-local rows back to global ids
+    got = np.zeros_like(want)
+    for p in range(d):
+        ids = np.where(part == p)[0]
+        got[ids] = got_sh[p, :len(ids)]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_full_mode_training_matches_single_device():
+    """k halo train steps (mode=full) == k single-device full-graph steps."""
+    from sgs_gnn_tpu.core.graph import Graph
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.train import DualOptimizer, make_train_step
+    from sgs_gnn_tpu.parallel import make_halo_train_step, shard_halo_batch
+    d = 4
+    cfg, hb, mesh, (x, ei, y, tm, vm, te, part) = _setup_halo(
+        d=d, mode="full", nhid=32)
+    n = x.shape[0]
+    model = get_model("GCN", x.shape[1], cfg.nhid, 4, dropout_prob=0.0)
+    params0 = init_params(model, jax.random.PRNGKey(1), jnp.asarray(x),
+                          jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    opt = DualOptimizer.create(params0, cfg.GNN, cfg.lr, cfg.weight_decay)
+
+    # exact GRADIENT parity: psum-assembled halo grads == full-graph grads
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from sgs_gnn_tpu.parallel.halo_train import (halo_gnn_forward,
+                                                 _global_masked_ce)
+    from sgs_gnn_tpu.train.losses import masked_cross_entropy
+    g = Graph.build(x, ei, y, tm, vm, te, num_classes=4)
+    hb_sh = shard_halo_batch(hb, mesh)
+
+    def single_loss(p):
+        out = model.apply(p, g.x, g.senders, g.receivers, None,
+                          deterministic=True)
+        return masked_cross_entropy(out, g.y, g.train_mask)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(),
+             check_vma=False)
+    def halo_grads(p, hb_):
+        def loss(p_):
+            out = halo_gnn_forward(p_["params"], hb_.x[0],
+                                   hb_.senders_flat[0], hb_.receivers_loc[0],
+                                   None, hb_.edge_mask[0], "data",
+                                   jnp.float32, 0.0, key=None)
+            return _global_masked_ce(out, hb_.y[0], hb_.train_mask[0],
+                                     "data")
+        return jax.lax.pmean(jax.grad(loss)(p), "data")
+
+    g1 = jax.grad(single_loss)(params0)
+    g2 = halo_grads(params0, hb_sh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-3, atol=1e-6),
+        g1, g2)
+
+    # trajectory agreement: loss sequences match (Adam amplifies f32
+    # reduction-order noise to +/-lr per coordinate, so raw params are only
+    # compared within that band)
+    step1 = make_train_step(cfg.replace(donate=False), model, opt,
+                            q=ei.shape[1] + 1, max_epoch=5)
+    p1, s1 = params0, opt.init(params0)
+    step2 = make_halo_train_step(cfg, opt, max_epoch=5, mesh=mesh)
+    p2, s2 = params0, opt.init(params0)
+    for ep in range(3):
+        p1, s1, m1 = step1(p1, s1, g, jnp.asarray(ep), jax.random.PRNGKey(9))
+        p2, s2, m2 = step2(p2, s2, hb_sh, jnp.asarray(ep),
+                           jax.random.PRNGKey(9))
+        np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3 * 2 * cfg.lr, rtol=1e-3),
+        p1, p2)
+
+
+def test_halo_learned_mode_trains():
+    """Learned-mode halo training: loss decreases, F1 rises (smoke)."""
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.train import DualOptimizer
+    from sgs_gnn_tpu.eval import aggregate_eval
+    from sgs_gnn_tpu.parallel import (make_halo_train_step,
+                                      make_halo_eval_step, shard_halo_batch)
+    d = 4
+    cfg, hb, mesh, (x, ei, y, *_ ) = _setup_halo(
+        d=d, n=400, mode="learned", nhid=32, pipeline="hybrid",
+        conditional=True, reg1=True, reg2=True, sample_perc=0.5,
+        num_samples_eval=3, drop_rate=0.1)
+    model = get_model("GCN", x.shape[1], cfg.nhid, 4,
+                      dropout_prob=cfg.drop_rate,
+                      edge_mlp_type=cfg.edge_mlp_type)
+    params = init_params(model, jax.random.PRNGKey(2), jnp.asarray(x),
+                         jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    hb = shard_halo_batch(hb, mesh)
+    step = make_halo_train_step(cfg, opt, max_epoch=30, mesh=mesh)
+    ev = make_halo_eval_step(cfg, mesh)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for ep in range(30):
+        params, opt_state, m = step(params, opt_state, hb, jnp.asarray(ep),
+                                    jax.random.fold_in(key, ep))
+        losses.append(float(m.loss))
+    agg = aggregate_eval([ev(params, hb, jax.random.PRNGKey(5),
+                             jnp.asarray(0.5))])
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert agg["train_f1"] > 0.5
