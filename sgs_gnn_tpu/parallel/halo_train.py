@@ -164,6 +164,16 @@ def build_halo_batch(x, edge_index, y, train_mask, val_mask, test_mask,
 
 def shard_halo_batch(hb: HaloBatch, mesh: Mesh) -> HaloBatch:
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        # multi-host: contribute only this process's shard rows
+        from .distributed import local_slot_indices
+        slots = np.asarray(local_slot_indices(mesh))
+
+        def put(a):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)[slots], np.shape(a))
+
+        return jax.tree_util.tree_map(put, hb)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), hb)
 
 

@@ -84,6 +84,17 @@ def _valid_edges(g: Graph) -> int:
 def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                    log_fn=print) -> List[RunResult]:
     cfg.validate()
+    if cfg.multihost:
+        # must precede the first JAX computation; after this jax.devices()
+        # spans every host (parallel/distributed.py)
+        from ..parallel.distributed import init_distributed, is_primary
+        init_distributed(cfg.coordinator_address, cfg.num_processes,
+                         cfg.process_id)
+        if not is_primary():
+            # secondary hosts compute everything but stay silent; the
+            # primary owns stdout/CSV/checkpoints
+            log_fn = lambda *a, **k: None  # noqa: E731
+            cfg = cfg.replace(save_csv=False, plot_curve=False)
     if ds is None:
         ds = get_dataset(cfg)
     if cfg.halo:
@@ -372,15 +383,34 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
     if len(batches) == 1:
         raise ValueError("data_parallel=on needs a partitioned graph; lower "
                          "--metis_threshold or set --num_partitions")
+    # q is threshold*perc (reference main.py:50) but the stacked step samples
+    # from the padded per-partition edge array — clamp so top_k(k=q) is
+    # always valid. Shards whose VALID edge count is <= q sample every real
+    # edge (padding is masked out of weights/regs in make_learned_loss); the
+    # reference's dynamic small-batch branch (training_hybrid.py:142-147)
+    # is a per-batch host decision this uniform step intentionally subsumes.
+    q = min(q, batches[0].num_edges)
     if cfg.debug_checks:
         from ..utils.debug import validate_graph
         for i, b in enumerate(batches):
             validate_graph(b, name=f"batch{i}")
     mesh = make_mesh(n_dev)
-    groups = [stack_batches(batches[i:i + n_dev])
-              for i in range(0, len(batches), n_dev)]
+    if cfg.multihost and jax.process_count() > 1:
+        # each host materializes on device ONLY the partitions in its own
+        # mesh slots; the global stacked batch is assembled shard-by-shard
+        # (parallel/distributed.py, no cross-host data motion)
+        from ..parallel.distributed import (local_slot_indices,
+                                            stack_local_to_global)
+        slots = local_slot_indices(mesh)
+        groups = [stack_local_to_global([batches[i + s] for s in slots],
+                                        mesh)
+                  for i in range(0, len(batches), n_dev)]
+    else:
+        groups = [stack_batches(batches[i:i + n_dev])
+                  for i in range(0, len(batches), n_dev)]
     if cfg.log:
         log_fn(f"dataset={ds.name} parts={len(batches)} devices={n_dev} "
+               f"hosts={jax.process_count()} "
                f"super_steps/epoch={len(groups)} q={q}")
 
     model = get_model(cfg.GNN, batches[0].x.shape[1], cfg.nhid,

@@ -63,11 +63,13 @@ def assortative_bce(edge_probs, sampled_senders, sampled_receivers, y,
 
 
 def consistency_loss(edge_probs, sampled_senders, sampled_receivers,
-                     node_embeddings):
+                     node_embeddings, valid=None):
     """reg2 — MSE between sampled-edge probabilities and cosine similarity of
     the GNN output embeddings of the endpoints (reference utils.py:187-211).
 
-    torch cosine_similarity clamps the denominator at eps=1e-8.
+    torch cosine_similarity clamps the denominator at eps=1e-8. ``valid``
+    (optional bool mask over sampled edges) excludes padding selections from
+    the mean — identity when every sampled edge is real.
     """
     src = node_embeddings[sampled_senders]
     dst = node_embeddings[sampled_receivers]
@@ -81,4 +83,8 @@ def consistency_loss(edge_probs, sampled_senders, sampled_receivers,
     denom = jnp.maximum(safe_norm(src), 1e-8) * \
         jnp.maximum(safe_norm(dst), 1e-8)
     cos = num / denom
-    return jnp.mean((edge_probs - cos) ** 2)
+    sq = (edge_probs - cos) ** 2
+    if valid is None:
+        return jnp.mean(sq)
+    m = valid.astype(sq.dtype)
+    return jnp.sum(sq * m) / jnp.maximum(jnp.sum(m), 1.0)

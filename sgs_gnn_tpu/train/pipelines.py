@@ -153,6 +153,15 @@ def make_learned_loss(cfg: Config, model, q: int):
         else:
             raise ValueError(pipeline)
 
+        # Shards with fewer valid edges than q (padded cluster partitions,
+        # parallel path) select padding edges last (-inf Gumbel keys). Those
+        # are ghost-node self-loops, harmless to aggregation/CE/reg1, but
+        # their weights and reg2 contribution must be zeroed. When valid >= q
+        # sel_valid is all-True and this is the identity.
+        sel_valid = g.edge_mask[idx]
+        weights = jnp.where(sel_valid, weights, 0.0)
+        probs_for_loss = jnp.where(sel_valid, probs_for_loss, 0.0)
+
         learned_out = _apply_gnn(model, p, g.x, s_s, s_r, weights, k_g1)
         loss = masked_cross_entropy(learned_out, g.y, g.train_mask)
         if cfg.reg1:
@@ -160,7 +169,7 @@ def make_learned_loss(cfg: Config, model, q: int):
                 probs_for_loss, s_s, s_r, g.y, g.train_mask)
         if cfg.reg2:
             loss = loss + cfg.consist_reg_coef * consistency_loss(
-                probs_for_loss, s_s, s_r, learned_out)
+                probs_for_loss, s_s, s_r, learned_out, valid=sel_valid)
 
         if cfg.conditional:
             random_out = _apply_gnn(model, p, g.x, rand_s, rand_r, None, k_g2)

@@ -103,6 +103,37 @@ def test_parallel_matches_sequential_gradients():
                                    atol=2e-5)
 
 
+def test_parallel_step_underfilled_shards():
+    """q larger than some shards' VALID edge counts: padding selections must
+    not crash (q is clamped to the padded array by the driver) nor corrupt
+    weights/regs (they are masked in make_learned_loss). Regression for the
+    top_k crash at metis_threshold >> partition size."""
+    n_dev = 4
+    graphs, f, c = _partitioned_fixture(n_dev)
+    mesh = make_mesh(n_dev)
+    cfg = Config(pipeline="hybrid", mode="learned", nhid=16, donate=False,
+                 reg1=True, reg2=True, conditional=True)
+    padded_e = graphs[0].num_edges
+    valid_min = min(int(np.asarray(g.edge_mask).sum()) for g in graphs)
+    q = padded_e  # > valid count of every shard
+    assert q > valid_min
+    model = get_model(cfg.GNN, f, cfg.nhid, c, cfg.drop_rate,
+                      cfg.edge_mlp_type)
+    g0 = graphs[0]
+    params = init_params(model, jax.random.PRNGKey(0), g0.x, g0.senders,
+                         g0.receivers)
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    step = make_parallel_train_step(cfg, model, opt, q, 5, mesh)
+    stacked = stack_batches(graphs)
+    key = jax.random.PRNGKey(3)
+    for epoch in range(5):
+        params, opt_state, m = step(params, opt_state, stacked,
+                                    jnp.asarray(epoch),
+                                    jax.random.fold_in(key, epoch))
+        assert np.isfinite(float(m.loss)), epoch
+
+
 def test_data_parallel_driver_path():
     """run_experiment with data_parallel=on trains over the virtual mesh."""
     from sgs_gnn_tpu.run.driver import run_experiment
