@@ -72,8 +72,34 @@ def _spmm_bwd(num_nodes, res, g):
 _spmm_core.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_unweighted(num_nodes, senders, receivers, x):
+    return _scatter_rows(x[senders], receivers, num_nodes).astype(x.dtype)
+
+
+def _spmm_unw_fwd(num_nodes, senders, receivers, x):
+    return _spmm_unweighted(num_nodes, senders, receivers, x), \
+        (senders, receivers)
+
+
+def _spmm_unw_bwd(num_nodes, res, g):
+    senders, receivers = res
+    dx = _scatter_rows(g[receivers], senders, num_nodes)
+    return (None, None, dx.astype(g.dtype))
+
+
+_spmm_unweighted.defvjp(_spmm_unw_fwd, _spmm_unw_bwd)
+
+
 def spmm_xla(senders, receivers, weights, x, num_nodes: int):
-    """Weighted sparse-dense matmul via XLA segment_sum (with custom VJP)."""
+    """Weighted sparse-dense matmul via XLA segment_sum (with custom VJP).
+
+    ``weights=None`` skips the per-edge multiply (plain adjacency SpMM) —
+    GCN's symmetric normalization is node-separable, so the unweighted form
+    plus node-level scaling covers the unweighted-conv hot path without
+    touching an (E,)-sized array (models/layers.py GCNConv)."""
+    if weights is None:
+        return _spmm_unweighted(num_nodes, senders, receivers, x)
     return _spmm_core(num_nodes, senders, receivers, weights, x)
 
 
@@ -86,6 +112,8 @@ def spmm(senders, receivers, weights, x, num_nodes: int, backend: str = "auto"):
         return spmm_xla(senders, receivers, weights, x, num_nodes)
     if backend == "pallas":
         from .spmm_pallas import spmm_pallas
+        if weights is None:
+            weights = jnp.ones(senders.shape[0], dtype=jnp.float32)
         return spmm_pallas(senders, receivers, weights, x, num_nodes)
     # auto: default to the XLA path; the Pallas kernel is opted into by the
     # model layer once shapes are known to be profitable.
