@@ -39,7 +39,8 @@ def build_partition(n_nodes=2048, n_edges=1_000_000, feat=602, classes=41,
     prob = degree_prior(senders, receivers, n_nodes)
     return Graph.build(x, np.stack([senders, receivers]), y, train,
                        ~train, np.zeros(n_nodes, bool), prob=prob,
-                       num_classes=classes, sort_by_receiver=True)
+                       num_classes=classes, sort_by_receiver=True,
+                       tile_index=True)
 
 
 def main():

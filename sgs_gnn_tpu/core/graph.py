@@ -27,8 +27,10 @@ import numpy as np
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["x", "senders", "receivers", "y", "train_mask",
-                      "val_mask", "test_mask", "prob", "edge_mask"],
-         meta_fields=["num_classes", "receiver_band"])
+                      "val_mask", "test_mask", "prob", "edge_mask",
+                      "tile_ls", "tile_lr", "tile_su", "tile_rv",
+                      "tile_perm", "tile_prob", "tile_mask"],
+         meta_fields=["num_classes", "receiver_band", "tile_t", "tile_b"])
 @dataclasses.dataclass(frozen=True)
 class Graph:
     """One graph (or one cluster partition) with static shapes.
@@ -52,8 +54,22 @@ class Graph:
     test_mask: jax.Array    # (N,) bool
     prob: jax.Array         # (E,) float sampling prior (degree or ER)
     edge_mask: jax.Array    # (E,) bool; False on padding edges
+    # Optional tile-pair index for the fused full-E score kernel
+    # (ops/score_tiles.py): edge slots grouped by (sender-tile,
+    # receiver-tile), Ep >= E with padding slots. tile_prob/tile_mask are
+    # the prior/mask permuted into tile order so sampling can run entirely
+    # in tile space; tile_perm maps winners back to edge ids.
+    tile_ls: Optional[jax.Array] = None    # (Ep,) int32 local sender id
+    tile_lr: Optional[jax.Array] = None    # (Ep,) int32 local receiver id
+    tile_su: Optional[jax.Array] = None    # (nblocks,) int32 sender tile
+    tile_rv: Optional[jax.Array] = None    # (nblocks,) int32 receiver tile
+    tile_perm: Optional[jax.Array] = None  # (Ep,) int32 original edge id
+    tile_prob: Optional[jax.Array] = None  # (Ep,) f32 prior, 0 on padding
+    tile_mask: Optional[jax.Array] = None  # (Ep,) bool
     num_classes: int = 0
     receiver_band: int = 0  # 0 = receivers not known to be sorted
+    tile_t: int = 0         # tile rows (0 = no tile index)
+    tile_b: int = 0         # edges per kernel block
 
     @property
     def num_nodes(self) -> int:
@@ -76,7 +92,9 @@ class Graph:
               test_mask=None, prob=None, num_classes: Optional[int] = None,
               pad_edges_to: Optional[int] = None,
               pad_edge_node: int = 0,
-              sort_by_receiver: bool = False) -> "Graph":
+              sort_by_receiver: bool = False,
+              tile_index: bool = False,
+              tile_t: int = 256, tile_b: int = 1024) -> "Graph":
         """Construct from host numpy arrays, optionally padding the edge list.
 
         Padding edges are self-loops on ``pad_edge_node`` with
@@ -122,7 +140,30 @@ class Graph:
             edge_mask = edge_mask[order]
             receiver_band = required_band(edge_index[1])
 
+        tiles = {}
+        t_meta = b_meta = 0
+        if tile_index and edge_index.shape[1]:
+            from ..ops.score_tiles import build_tile_index
+            ti = build_tile_index(edge_index[0], edge_index[1], n,
+                                  t=tile_t, b=tile_b)
+            if ti is not None:
+                tiles = dict(
+                    tile_ls=jnp.asarray(ti.ls),
+                    tile_lr=jnp.asarray(ti.lr),
+                    tile_su=jnp.asarray(ti.su),
+                    tile_rv=jnp.asarray(ti.rv),
+                    tile_perm=jnp.asarray(ti.perm),
+                    tile_prob=jnp.asarray(
+                        np.where(ti.valid, prob[ti.perm], 0.0).astype(
+                            np.float32)),
+                    tile_mask=jnp.asarray(ti.valid & edge_mask[ti.perm]),
+                )
+                t_meta, b_meta = ti.t, ti.b
+
         return Graph(
+            tile_t=t_meta,
+            tile_b=b_meta,
+            **tiles,
             x=jnp.asarray(x),
             senders=jnp.asarray(edge_index[0]),
             receivers=jnp.asarray(edge_index[1]),

@@ -60,6 +60,14 @@ class _Backbone(nn.Module):
                                              deterministic, use_remat,
                                              receiver_band)
 
+    def score_tiles_from_embeddings(self, h, tile_ls, tile_lr, tile_su,
+                                    tile_rv, t: int, bk: int,
+                                    deterministic: bool = True, seed=0):
+        """Fused tile-pair full-edge-set scoring (ops/score_tiles.py)."""
+        return self.edge_prob_mlp.score_tiles(h, tile_ls, tile_lr, tile_su,
+                                              tile_rv, t, bk, deterministic,
+                                              seed)
+
 
 class GNNModel(_Backbone):
     """2-layer GCN backbone (reference model.py:147-164). Accepts per-edge

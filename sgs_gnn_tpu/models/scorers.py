@@ -56,24 +56,58 @@ from .layers import GCNConv, SAGEConv
 from ..ops.edge_gather import gather_rows
 
 
+class _DenseParams(nn.Module):
+    """Explicit-parameter Dense with nn.Dense's tree layout ({kernel, bias})
+    and default inits, so the raw kernel/bias are addressable for kernels
+    that consume them directly (ops/score_tiles.py, parallel/halo_train.py)."""
+    din: int
+    dout: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.din, self.dout))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dout,))
+
+    def __call__(self, x):
+        return x @ self.kernel.astype(x.dtype) + self.bias.astype(x.dtype)
+
+
 class _ScoreHead(nn.Module):
     """fc1 -> ReLU -> dropout -> fc2 -> sigmoid over [h_u*h_v || h_u-h_v]
     (reference model.py:29-34). Matmuls in `dtype`; the sigmoid output is
-    cast to float32 for the samplers/losses."""
+    cast to float32 for the samplers/losses. The head's input width is the
+    encoder output (= hidden_dim for every scorer variant)."""
     hidden_dim: int
     dropout_prob: float
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = _DenseParams(2 * self.hidden_dim, self.hidden_dim,
+                                name="fc1")
+        self.fc2 = _DenseParams(self.hidden_dim, 1, name="fc2")
+        self.drop = nn.Dropout(self.dropout_prob)
+
     def __call__(self, hu, hv, deterministic: bool):
         hu = hu.astype(self.dtype)
         hv = hv.astype(self.dtype)
         feats = jnp.concatenate([hu * hv, hu - hv], axis=-1)
-        z = nn.relu(nn.Dense(self.hidden_dim, name="fc1",
-                             dtype=self.dtype)(feats))
-        z = nn.Dropout(self.dropout_prob, deterministic=deterministic)(z)
-        logit = nn.Dense(1, name="fc2", dtype=self.dtype)(z)
+        z = nn.relu(self.fc1(feats))
+        z = self.drop(z, deterministic=deterministic)
+        logit = self.fc2(z)
         return nn.sigmoid(logit.astype(jnp.float32))
+
+    def tiles(self, h, tile_ls, tile_lr, tile_su, tile_rv, t: int, bk: int,
+              deterministic: bool, seed):
+        """Fused tile-pair scoring over ALL tile-indexed edge slots
+        (ops/score_tiles.py). Forward-only (detached sampling pass)."""
+        from ..ops.score_tiles import (score_head_tiles,
+                                       score_head_tiles_fallback)
+        rate = 0.0 if deterministic else self.dropout_prob
+        fn = (score_head_tiles if jax.default_backend() == "tpu"
+              else score_head_tiles_fallback)
+        return fn(h.astype(self.dtype), self.fc1.kernel, self.fc1.bias,
+                  self.fc2.kernel, self.fc2.bias, tile_ls, tile_lr, tile_su,
+                  tile_rv, t=t, bk=bk, drop_rate=rate, seed=seed)
 
 
 def _maybe_remat(fn, use_remat: bool):
@@ -106,6 +140,12 @@ class _EdgeScorer(nn.Module):
                              deterministic)
 
         return _maybe_remat(score, use_remat)(h).squeeze(-1)
+
+    def score_tiles(self, h, tile_ls, tile_lr, tile_su, tile_rv, t: int,
+                    bk: int, deterministic: bool = True, seed=0):
+        """Fused tile-pair full-edge-set scoring (detached; tile order)."""
+        return self.head.tiles(h, tile_ls, tile_lr, tile_su, tile_rv, t, bk,
+                               deterministic, seed)
 
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,

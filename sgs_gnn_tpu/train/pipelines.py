@@ -74,6 +74,7 @@ def make_learned_loss(cfg: Config, model, q: int):
 
     def loss_fn(p, g: Graph, key):
         k_rand, k_sample, k_s1, k_s2, k_g1, k_g2 = jax.random.split(key, 6)
+        sel_valid = None   # set by branches that sample in a permuted space
         use_rand = cfg.conditional or cfg.sparse_edge_mlp
         if use_rand:
             # degree-prior random subgraph, used for the conditional gate's
@@ -124,12 +125,33 @@ def make_learned_loss(cfg: Config, model, q: int):
             # dropout noise decouples between sampling and weights.
             h = model.apply(p, g.x, prop_s, prop_r, False,
                             rngs={"dropout": k_s1}, method="encode_scorer")
-            probs_sample = jax.lax.stop_gradient(model.apply(
-                p, jax.lax.stop_gradient(h), g.senders, g.receivers, False,
-                rngs={"dropout": k_s1}, method="score_from_embeddings"))
-            idx, _ = sample_edges(k_sample, probs_sample, g.prob, q,
-                                  cfg.degree_bias_coef, edge_mask=g.edge_mask,
-                                  approx=cfg.approx_topk)
+            if g.tile_t and h.shape[-1] <= 512:
+                # fused tile-pair kernel: scores in TILE order, sampling in
+                # tile space, only the q winners are mapped back
+                # (ops/score_tiles.py)
+                seed = jax.random.randint(k_s1, (), 0,
+                                          jnp.iinfo(jnp.int32).max)
+                probs_tiles = model.apply(
+                    p, jax.lax.stop_gradient(h), g.tile_ls, g.tile_lr,
+                    g.tile_su, g.tile_rv, g.tile_t, g.tile_b, False, seed,
+                    method="score_tiles_from_embeddings")
+                idx_t, _ = sample_edges(k_sample, probs_tiles, g.tile_prob,
+                                        q, cfg.degree_bias_coef,
+                                        edge_mask=g.tile_mask,
+                                        approx=cfg.approx_topk)
+                idx = g.tile_perm[idx_t]
+                # validity must come from tile space: padding slots map
+                # to edge id 0, whose edge_mask may be True
+                sel_valid = g.tile_mask[idx_t]
+            else:
+                probs_sample = jax.lax.stop_gradient(model.apply(
+                    p, jax.lax.stop_gradient(h), g.senders, g.receivers,
+                    False, rngs={"dropout": k_s1},
+                    method="score_from_embeddings"))
+                idx, _ = sample_edges(k_sample, probs_sample, g.prob, q,
+                                      cfg.degree_bias_coef,
+                                      edge_mask=g.edge_mask,
+                                      approx=cfg.approx_topk)
             s_s, s_r = g.senders[idx], g.receivers[idx]
             weights = model.apply(p, h, s_s, s_r, False,
                                   cfg.hybrid_checkpoint, 0,
@@ -158,7 +180,8 @@ def make_learned_loss(cfg: Config, model, q: int):
         # are ghost-node self-loops, harmless to aggregation/CE/reg1, but
         # their weights and reg2 contribution must be zeroed. When valid >= q
         # sel_valid is all-True and this is the identity.
-        sel_valid = g.edge_mask[idx]
+        if sel_valid is None:
+            sel_valid = g.edge_mask[idx]
         weights = jnp.where(sel_valid, weights, 0.0)
         probs_for_loss = jnp.where(sel_valid, probs_for_loss, 0.0)
 

@@ -239,3 +239,82 @@ def test_spmm_backend_dispatch_no_crash(rng):
     out = spmm(s, r, w, x, n, backend="pallas")
     ref = spmm(s, r, w, x, n, backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_score_tiles_kernel_matches_reference(rng):
+    """Interpret-mode tile-pair score kernel == jnp oracle == direct head."""
+    from sgs_gnn_tpu.ops.score_tiles import (build_tile_index,
+                                             score_head_tiles,
+                                             score_head_tiles_reference)
+    n, e, f, k = 200, 8000, 32, 32
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    ti = build_tile_index(s, r, n, t=64, b=128)
+    assert ti is not None
+    h = rng.normal(size=(n, f)).astype(np.float32)
+    fc1k = (rng.normal(size=(2 * f, k)) * 0.1).astype(np.float32)
+    fc1b = (rng.normal(size=(k,)) * 0.1).astype(np.float32)
+    fc2k = (rng.normal(size=(k, 1)) * 0.1).astype(np.float32)
+    fc2b = (rng.normal(size=(1,)) * 0.1).astype(np.float32)
+    args = (jnp.asarray(h), jnp.asarray(fc1k), jnp.asarray(fc1b),
+            jnp.asarray(fc2k), jnp.asarray(fc2b), jnp.asarray(ti.ls),
+            jnp.asarray(ti.lr), jnp.asarray(ti.su), jnp.asarray(ti.rv))
+    probs = score_head_tiles(*args, t=ti.t, bk=ti.b, drop_rate=0.0,
+                             interpret=True)
+    ref = score_head_tiles_reference(*args, t=ti.t, bk=ti.b)
+    v = np.asarray(ti.valid)
+    np.testing.assert_allclose(np.asarray(probs)[v], np.asarray(ref)[v],
+                               rtol=1e-5, atol=1e-6)
+    # map back to original edge order and compare against the direct head
+    hu, hv = h[s], h[r]
+    z = np.maximum(np.concatenate([hu * hv, hu - hv], 1) @ fc1k + fc1b, 0)
+    direct = 1.0 / (1.0 + np.exp(-(z @ fc2k[:, 0] + fc2b[0])))
+    back = np.zeros(e, np.float32)
+    back[np.asarray(ti.perm)[v]] = np.asarray(probs)[v]
+    np.testing.assert_allclose(back, direct, rtol=1e-4, atol=1e-5)
+
+
+def test_tile_index_overhead_gate():
+    """Sparse huge-N graphs must decline the tile layout (returns None)."""
+    from sgs_gnn_tpu.ops.score_tiles import build_tile_index
+    rng2 = np.random.default_rng(1)
+    n, e = 100_000, 5000   # ~1 edge per tile pair -> massive padding
+    s = rng2.integers(0, n, e).astype(np.int32)
+    r = rng2.integers(0, n, e).astype(np.int32)
+    assert build_tile_index(s, r, n, t=256, b=1024) is None
+
+
+def test_hybrid_rescore_trains_with_tile_index(rng):
+    """The hybrid fast path must route through the tile kernel when the
+    graph carries a tile index, and still train (interpret mode on CPU)."""
+    import jax
+    from sgs_gnn_tpu.core import Config
+    from sgs_gnn_tpu.core.graph import Graph
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.train import DualOptimizer, make_train_step
+    n, e, f, c = 200, 8000, 16, 4
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    y = rng.integers(0, c, n).astype(np.int32)
+    tr = rng.random(n) < 0.5
+    g = Graph.build(x, np.stack([s, r]), y, tr, ~tr, np.zeros(n, bool),
+                    num_classes=c, tile_index=True, tile_t=64, tile_b=128)
+    assert g.tile_t == 64 and g.tile_su is not None
+    cfg = Config(pipeline="hybrid", mode="learned", nhid=16, donate=False,
+                 drop_rate=0.1)
+    model = get_model(cfg.GNN, f, cfg.nhid, c, cfg.drop_rate,
+                      cfg.edge_mlp_type)
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    q = 512
+    step = make_train_step(cfg, model, opt, q, max_epoch=10)
+    losses = []
+    for i in range(10):
+        params, opt_state, m = step(params, opt_state, g, jnp.asarray(i),
+                                    jax.random.PRNGKey(100 + i))
+        losses.append(float(m.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
