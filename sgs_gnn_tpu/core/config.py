@@ -104,6 +104,11 @@ class Config:
     coordinator_address: str = ''  # host:port of process 0
     num_processes: int = 1
     process_id: int = 0
+    # dense-subgraph execution (ops/dense_graph.py): densify each per-step
+    # sampled subgraph into an (N, N) adjacency and run message passing as
+    # MXU matmuls. 'auto' = on-TPU for small-N partitions; 'on'/'off' force.
+    dense_subgraph: str = 'auto'
+    dense_threshold: int = 4096   # max node count for the dense route
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True
@@ -165,6 +170,10 @@ class Config:
               "regularizer coefficients must be >= 0")
         check(self.checkpoint_every >= 0,
               f"checkpoint_every={self.checkpoint_every} must be >= 0")
+        check(self.dense_subgraph in ("auto", "on", "off"),
+              f"dense_subgraph={self.dense_subgraph!r} must be auto|on|off")
+        check(self.dense_threshold > 0,
+              f"dense_threshold={self.dense_threshold} must be > 0")
         check(self.num_partitions >= 0,
               f"num_partitions={self.num_partitions} must be >= 0")
         check(self.seed >= 0, f"seed={self.seed} must be >= 0")

@@ -29,7 +29,8 @@ import numpy as np
          data_fields=["x", "senders", "receivers", "y", "train_mask",
                       "val_mask", "test_mask", "prob", "edge_mask",
                       "tile_ls", "tile_lr", "tile_su", "tile_rv",
-                      "tile_perm", "tile_prob", "tile_mask"],
+                      "tile_perm", "tile_prob", "tile_mask",
+                      "edge_aux", "tile_aux"],
          meta_fields=["num_classes", "receiver_band", "tile_t", "tile_b"])
 @dataclasses.dataclass(frozen=True)
 class Graph:
@@ -66,6 +67,13 @@ class Graph:
     tile_perm: Optional[jax.Array] = None  # (Ep,) int32 original edge id
     tile_prob: Optional[jax.Array] = None  # (Ep,) f32 prior, 0 on padding
     tile_mask: Optional[jax.Array] = None  # (Ep,) bool
+    # Packed per-edge aux tables: one (E, 3) int32 row gather replaces the
+    # separate senders/receivers/edge_mask/label gathers (per-row DMA cost
+    # dominates TPU gathers — tools/microbench_gather.py). Columns:
+    # [sender, receiver, flags] with flags bit0 = both endpoints train,
+    # bit1 = same label (reg1's static edge labels), bit2 = valid (edge_mask).
+    edge_aux: Optional[jax.Array] = None   # (E, 3) int32, edge order
+    tile_aux: Optional[jax.Array] = None   # (Ep, 3) int32, tile order
     num_classes: int = 0
     receiver_band: int = 0  # 0 = receivers not known to be sorted
     tile_t: int = 0         # tile rows (0 = no tile index)
@@ -140,6 +148,16 @@ class Graph:
             edge_mask = edge_mask[order]
             receiver_band = required_band(edge_index[1])
 
+        # packed per-edge aux table (see field docstring): static across
+        # training since y/train_mask are fixed
+        s_, r_ = edge_index[0], edge_index[1]
+        both_train = train_mask[s_] & train_mask[r_]
+        same_label = y[s_] == y[r_] if y.size else np.zeros(e, bool)
+        flags = (both_train.astype(np.int32)
+                 | (same_label.astype(np.int32) << 1)
+                 | (edge_mask.astype(np.int32) << 2))
+        edge_aux = np.stack([s_, r_, flags], axis=1).astype(np.int32)
+
         tiles = {}
         t_meta = b_meta = 0
         if tile_index and edge_index.shape[1]:
@@ -147,6 +165,10 @@ class Graph:
             ti = build_tile_index(edge_index[0], edge_index[1], n,
                                   t=tile_t, b=tile_b)
             if ti is not None:
+                tmask = ti.valid & edge_mask[ti.perm]
+                tile_aux = edge_aux[ti.perm]
+                tile_aux[:, 2] = (tile_aux[:, 2] & 3) | \
+                    (tmask.astype(np.int32) << 2)
                 tiles = dict(
                     tile_ls=jnp.asarray(ti.ls),
                     tile_lr=jnp.asarray(ti.lr),
@@ -156,13 +178,15 @@ class Graph:
                     tile_prob=jnp.asarray(
                         np.where(ti.valid, prob[ti.perm], 0.0).astype(
                             np.float32)),
-                    tile_mask=jnp.asarray(ti.valid & edge_mask[ti.perm]),
+                    tile_mask=jnp.asarray(tmask),
+                    tile_aux=jnp.asarray(tile_aux),
                 )
                 t_meta, b_meta = ti.t, ti.b
 
         return Graph(
             tile_t=t_meta,
             tile_b=b_meta,
+            edge_aux=jnp.asarray(edge_aux),
             **tiles,
             x=jnp.asarray(x),
             senders=jnp.asarray(edge_index[0]),

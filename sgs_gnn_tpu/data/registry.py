@@ -154,10 +154,16 @@ def _load_raw(cfg: Config, name: str):
     if planetoid_name and os.path.exists(
             os.path.join(raw_dir, f"ind.{planetoid_name}.x")):
         return _load_planetoid_raw(raw_dir, planetoid_name)
+    from .vendored import try_load_vendored
+    vendored = try_load_vendored(ddir, name)
+    if vendored is not None:
+        return vendored
     raise FileNotFoundError(
         f"Dataset '{name}' not found. This environment has no network "
         f"access; drop a cache at {npz} with arrays x/(2,E) edge_index/y "
-        f"and optional masks, or Planetoid raw files under {raw_dir}.")
+        f"and optional masks, Planetoid raw files under {raw_dir}, or a "
+        f"vendored raw format (Facebook100 .mat / geom-gcn out1_* text / "
+        f"LINKX film dir) under {os.path.join(ddir, name)}.")
 
 
 def get_dataset(cfg: Config, name: Optional[str] = None) -> HostDataset:

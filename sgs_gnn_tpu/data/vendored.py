@@ -1,0 +1,123 @@
+"""Vendored raw-format dataset loaders.
+
+The reference vendors three on-disk raw formats inside its notebook loaders
+(reference Notebooks/HeterophilousDataset.ipynb + Dataset.ipynb) so runs can
+proceed from files instead of PyG downloads. This module reproduces those
+formats as pure-numpy parsers (this container has zero egress, so files must
+already sit under ``<data_dir>``):
+
+* Facebook100 ``.mat`` (LINKXDataset._process_facebook): sparse adjacency
+  ``A`` + integer ``local_info`` matrix; label = gender column - 1 (-1 means
+  unlabeled), features = per-column one-hot of the remaining metadata.
+  Covers penn94 / reed98 / amherst41 / cornell5 / johnshopkins55.
+* geom-gcn text (WebKB / WikipediaNetwork / Actor raw files):
+  ``out1_graph_edges.txt`` + ``out1_node_feature_label.txt``. Dense
+  comma-separated features for texas/cornell/wisconsin/chameleon/squirrel;
+  feature-INDEX lists for film/Actor (932-dim binary bag of keywords).
+* LINKX film directory (Dataset.ipynb get_film): ``class_map.json`` +
+  ``feats.npy`` + ``film_edges.csv``.
+
+All loaders return ``(x, edge_index, y, masks_dict)`` in the registry's host
+convention (float32 / int32 / int32, masks optional — the registry generates
+the reference's 0.2/0.4/0.4 split when absent).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def load_fb100_mat(path: str):
+    """Facebook100 .mat → arrays (HeterophilousDataset.ipynb
+    LINKXDataset._process_facebook semantics)."""
+    from scipy.io import loadmat
+    mat = loadmat(path)
+    A = mat["A"].tocsr().tocoo()
+    ei = np.stack([A.row.astype(np.int32), A.col.astype(np.int32)])
+    meta = mat["local_info"].astype(np.int64)
+    y = (meta[:, 1] - 1).astype(np.int32)  # gender - 1; -1 = unlabeled
+    cols = np.concatenate([meta[:, :1], meta[:, 2:]], axis=1)
+    xs = []
+    for i in range(cols.shape[1]):
+        _, inv = np.unique(cols[:, i], return_inverse=True)
+        one_hot = np.zeros((cols.shape[0], inv.max() + 1), np.float32)
+        one_hot[np.arange(cols.shape[0]), inv] = 1.0
+        xs.append(one_hot)
+    x = np.concatenate(xs, axis=1)
+    return x, ei, y, {}
+
+
+def load_geom_gcn(dirpath: str, sparse_features: bool = False):
+    """geom-gcn raw text pair → arrays (Dataset.ipynb get_heterophily /
+    HeterophilousDataset.ipynb WebKB/WikipediaNetwork/Actor.process).
+
+    ``sparse_features=True`` is the film/Actor convention: the feature column
+    holds keyword INDICES into a 932-dim binary vector rather than dense
+    values.
+    """
+    edge_file = os.path.join(dirpath, "out1_graph_edges.txt")
+    node_file = os.path.join(dirpath, "out1_node_feature_label.txt")
+    with open(edge_file) as f:
+        rows = [ln.split("\t") for ln in f.read().strip().split("\n")[1:]]
+    ei = np.array([[int(a), int(b)] for a, b in rows], np.int32).T
+    with open(node_file) as f:
+        rows = [ln.split("\t") for ln in f.read().strip().split("\n")[1:]]
+    n = len(rows)
+    y = np.zeros(n, np.int32)
+    feats = [None] * n
+    for node_id, feat, label in rows:
+        i = int(node_id)
+        y[i] = int(label)
+        feats[i] = list(map(int, feat.split(",")))
+    if sparse_features:
+        dim = max(max(f) for f in feats if f) + 1
+        dim = max(dim, 932)  # Actor's documented keyword-vocabulary size
+        x = np.zeros((n, dim), np.float32)
+        for i, f in enumerate(feats):
+            x[i, f] = 1.0
+    else:
+        x = np.array(feats, np.float32)
+    return x, ei, y, {}
+
+
+def load_film_linkx(dirpath: str):
+    """LINKX film directory → arrays (Dataset.ipynb get_film)."""
+    with open(os.path.join(dirpath, "class_map.json")) as f:
+        class_map = {int(k): int(v) for k, v in json.load(f).items()}
+    y = np.array([class_map[i] for i in sorted(class_map)], np.int32)
+    x = np.load(os.path.join(dirpath, "feats.npy")).astype(np.float32)
+    edges = np.genfromtxt(os.path.join(dirpath, "film_edges.csv"),
+                          delimiter=",", skip_header=1, dtype=np.int64)
+    ei = edges.T.astype(np.int32)
+    return x, ei, y, {}
+
+
+# datasets whose geom-gcn feature column is keyword indices, not dense values
+GEOM_GCN_SPARSE = {"film", "actor"}
+
+
+def try_load_vendored(data_dir: str, name: str):
+    """Resolve ``name`` against the vendored on-disk conventions, or None.
+
+    Checked in order:
+      <data_dir>/<name>.mat                       (Facebook100)
+      <data_dir>/<name>/raw/<name>.mat            (PyG-style raw dir)
+      <data_dir>/<name>/out1_graph_edges.txt      (geom-gcn text)
+      <data_dir>/<name>/raw/out1_graph_edges.txt
+      <data_dir>/<name>/class_map.json            (LINKX film)
+    """
+    lname = name.lower()
+    for mat in (os.path.join(data_dir, f"{name}.mat"),
+                os.path.join(data_dir, name, "raw", f"{lname}.mat")):
+        if os.path.exists(mat):
+            return load_fb100_mat(mat)
+    for d in (os.path.join(data_dir, name),
+              os.path.join(data_dir, name, "raw")):
+        if os.path.exists(os.path.join(d, "out1_graph_edges.txt")):
+            return load_geom_gcn(d, sparse_features=lname in GEOM_GCN_SPARSE)
+    d = os.path.join(data_dir, name)
+    if os.path.exists(os.path.join(d, "class_map.json")):
+        return load_film_linkx(d)
+    return None

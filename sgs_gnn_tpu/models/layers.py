@@ -24,6 +24,7 @@ from ..ops.spmm import spmm
 from ..ops.gcn_norm import gcn_norm
 from ..ops.scatter_pallas import segment_sum_scalar
 from ..ops.segment import segment_softmax, segment_mean
+from ..ops.dense_graph import DenseEdges
 
 
 class GCNConv(nn.Module):
@@ -47,16 +48,24 @@ class GCNConv(nn.Module):
         # the self-loop diagonal analytically. Equivalent to PyG's per-edge
         # norm array, but touches no (E,)-sized tensors beyond the SpMM
         # itself — the per-edge d^{-1/2} gathers were a measured hot spot.
-        w_deg = (jnp.ones(senders.shape[0], jnp.float32)
-                 if edge_weight is None else edge_weight)
-        deg = segment_sum_scalar(w_deg, receivers, n) + 1.0  # +self-loop
+        if isinstance(senders, DenseEdges):
+            # densified subgraph (ops/dense_graph.py): weighted in-degree is
+            # a row sum, aggregation a dense matmul on the MXU
+            deg = senders.adj.sum(axis=1) + 1.0
+        else:
+            w_deg = (jnp.ones(senders.shape[0], jnp.float32)
+                     if edge_weight is None else edge_weight)
+            deg = segment_sum_scalar(w_deg, receivers, n) + 1.0  # +self-loop
         dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-32)), 0.0)
         x = nn.Dense(self.features, use_bias=False, name="lin",
                      dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
         xs = x * dis[:, None].astype(x.dtype)
-        agg = spmm(senders, receivers, edge_weight, xs, n,
-                   backend=self.backend)
+        if isinstance(senders, DenseEdges):
+            agg = senders.adj.astype(x.dtype) @ xs
+        else:
+            agg = spmm(senders, receivers, edge_weight, xs, n,
+                       backend=self.backend)
         out = (agg.astype(jnp.float32) * dis[:, None]
                + (dis * dis)[:, None] * x.astype(jnp.float32))
         if self.use_bias:
@@ -75,7 +84,11 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_weight=None):
         n = x.shape[0]
-        agg = segment_mean(x[senders], receivers, n)
+        if isinstance(senders, DenseEdges):
+            cnt = jnp.maximum(senders.adj.sum(axis=1, keepdims=True), 1.0)
+            agg = (senders.adj.astype(x.dtype) @ x).astype(jnp.float32) / cnt
+        else:
+            agg = segment_mean(x[senders], receivers, n)
         out = nn.Dense(self.features, use_bias=True, name="lin_l",
                        dtype=self.dtype)(agg)
         out = out + nn.Dense(self.features, use_bias=False, name="lin_r",
@@ -136,7 +149,10 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_weight=None):
         n = x.shape[0]
-        agg = jax.ops.segment_sum(x[senders], receivers, num_segments=n)
+        if isinstance(senders, DenseEdges):
+            agg = (senders.adj.astype(x.dtype) @ x).astype(jnp.float32)
+        else:
+            agg = jax.ops.segment_sum(x[senders], receivers, num_segments=n)
         eps = 0.0
         z = (1.0 + eps) * x + agg
         z = nn.Dense(self.hidden, name="mlp_lin1", dtype=self.dtype)(z)
@@ -163,13 +179,26 @@ class ChebConv(nn.Module):
                        dtype=self.dtype,
                        kernel_init=nn.initializers.glorot_uniform())(x)
         if self.K > 1:
-            # normalized adjacency WITHOUT self loops (Cheb uses the Laplacian)
-            s, r, w = gcn_norm(senders, receivers, edge_weight, n,
-                               add_loops=False)
+            if isinstance(senders, DenseEdges):
+                # D^{-1/2} A D^{-1/2} densely: scale rows+cols by d^{-1/2}
+                deg = senders.adj.sum(axis=1)
+                dis = jnp.where(deg > 0,
+                                jax.lax.rsqrt(jnp.maximum(deg, 1e-32)), 0.0)
+
+                def a_norm(v):
+                    return dis[:, None] * (senders.adj @ (dis[:, None] * v))
+            else:
+                # normalized adjacency WITHOUT self loops (Cheb uses the
+                # Laplacian)
+                s, r, w = gcn_norm(senders, receivers, edge_weight, n,
+                                   add_loops=False)
+
+                def a_norm(v):
+                    return spmm(s, r, w, v, n)
 
             def l_hat(v):
                 # L_hat v = (2/lmax)(v - A_norm v) - v
-                av = spmm(s, r, w, v, n)
+                av = a_norm(v)
                 return (2.0 / self.lambda_max) * (v - av) - v
 
             tx_prev, tx = x, l_hat(x)

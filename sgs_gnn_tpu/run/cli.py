@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.halo,
                    help='halo-exchange mode: full-graph semantics with '
                         'partitioned storage over the mesh')
+    p.add_argument('--dense_subgraph', type=str, default=d.dense_subgraph,
+                   choices=['auto', 'on', 'off'],
+                   help='densify per-step subgraphs into (N,N) adjacencies '
+                        '(MXU matmuls instead of gather/scatter)')
+    p.add_argument('--dense_threshold', type=int, default=d.dense_threshold)
     p.add_argument('--multihost', type=str2bool, nargs='?', const=True,
                    default=d.multihost,
                    help='initialize jax.distributed and run over all hosts')

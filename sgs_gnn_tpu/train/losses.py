@@ -62,6 +62,21 @@ def assortative_bce(edge_probs, sampled_senders, sampled_receivers, y,
     return jnp.where(n_pos > 1.0, mean_bce, 0.0)
 
 
+def assortative_bce_flags(edge_probs, flags):
+    """reg1 from pre-gathered static edge flags (Graph.edge_aux column 2:
+    bit0 = both endpoints train, bit1 = same label). Same math as
+    :func:`assortative_bce`, with the per-step y/train_mask gathers replaced
+    by one packed aux-row gather done by the caller."""
+    both_train = (flags & 1) > 0
+    labels = ((flags >> 1) & 1).astype(edge_probs.dtype)
+    p = jnp.clip(edge_probs, 1e-38, 1.0 - 1e-7)
+    bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    valid = both_train.astype(edge_probs.dtype)
+    mean_bce = jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    n_pos = jnp.sum(labels * valid)
+    return jnp.where(n_pos > 1.0, mean_bce, 0.0)
+
+
 def consistency_loss(edge_probs, sampled_senders, sampled_receivers,
                      node_embeddings, valid=None):
     """reg2 — MSE between sampled-edge probabilities and cosine similarity of

@@ -32,10 +32,11 @@ import jax.numpy as jnp
 
 from ..core.config import Config
 from ..core.graph import Graph
+from ..ops.dense_graph import dense_adj, use_dense_subgraph
 from ..sparsify.sampling import (sample_edges, sample_prior_edges,
                                  random_edges, temperature_at)
 from .losses import (masked_cross_entropy, micro_f1, assortative_bce,
-                     consistency_loss)
+                     assortative_bce_flags, consistency_loss)
 from .optim import DualOptimizer, DualOptState
 
 
@@ -74,8 +75,14 @@ def make_learned_loss(cfg: Config, model, q: int):
 
     def loss_fn(p, g: Graph, key):
         k_rand, k_sample, k_s1, k_s2, k_g1, k_g2 = jax.random.split(key, 6)
+        n = g.num_nodes
         sel_valid = None   # set by branches that sample in a permuted space
+        reg1_flags = None  # static edge flags riding the packed aux gather
         use_rand = cfg.conditional or cfg.sparse_edge_mlp
+        # densify per-step subgraphs? (ops/dense_graph.py: for small-N
+        # partitions all message passing becomes dense MXU matmuls)
+        dense = use_dense_subgraph(cfg, n, q) and use_rand
+        gnn_weighted = cfg.GNN in ("GCN", "Cheb")  # GIN/GAT ignore weights
         if use_rand:
             # degree-prior random subgraph, used for the conditional gate's
             # comparison forward AND as the scorer's propagation graph
@@ -84,12 +91,29 @@ def make_learned_loss(cfg: Config, model, q: int):
             # sparse_edge_mlp is on)
             rand_idx = sample_prior_edges(k_rand, g.prob, q, g.edge_mask,
                                           approx=cfg.approx_topk)
-            rand_s = g.senders[rand_idx]
-            rand_r = g.receivers[rand_idx]
+            if g.edge_aux is not None:
+                aux_r = g.edge_aux[rand_idx]      # one packed row gather
+                rand_s, rand_r = aux_r[:, 0], aux_r[:, 1]
+                rand_valid = (aux_r[:, 2] & 4) > 0
+            else:
+                rand_s = g.senders[rand_idx]
+                rand_r = g.receivers[rand_idx]
+                rand_valid = g.edge_mask[rand_idx]
+            if dense:
+                a_rand = dense_adj(rand_s, rand_r, n, valid=rand_valid)
+                rand_s, rand_r = a_rand, None
             prop_s, prop_r = rand_s, rand_r
         else:
             rand_s = rand_r = None
             prop_s, prop_r = g.senders, g.receivers
+
+        def select_edges(idx):
+            """Edge-order selection -> (s, r, valid, reg1 flags), one packed
+            aux-row gather when the table exists."""
+            if g.edge_aux is not None:
+                aux = g.edge_aux[idx]
+                return (aux[:, 0], aux[:, 1], (aux[:, 2] & 4) > 0, aux[:, 2])
+            return (g.senders[idx], g.receivers[idx], g.edge_mask[idx], None)
 
         if pipeline == "two_pass":
             # pass 1 (no grad) on the full edge set
@@ -99,12 +123,16 @@ def make_learned_loss(cfg: Config, model, q: int):
             idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
                                   cfg.degree_bias_coef, edge_mask=g.edge_mask,
                                   approx=cfg.approx_topk)
-            s_s, s_r = g.senders[idx], g.receivers[idx]
+            s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             # pass 3: grad-enabled re-score of only the sampled edges; the
             # scorer's encoder propagates on the sampled subgraph
             # (training_two_pass.py:75-77 passes sampled_edge_index as the
             # graph)
-            weights = _score(model, p, g.x, s_s, s_r, s_s, s_r, k_s2)
+            if dense:
+                a_samp = dense_adj(s_s, s_r, n)  # unweighted prop structure
+                weights = _score(model, p, g.x, a_samp, None, s_s, s_r, k_s2)
+            else:
+                weights = _score(model, p, g.x, s_s, s_r, s_s, s_r, k_s2)
             probs_for_loss = weights
         elif pipeline == "straight_through":
             probs_full = _score(model, p, g.x, prop_s, prop_r,
@@ -114,7 +142,7 @@ def make_learned_loss(cfg: Config, model, q: int):
                                         cfg.degree_bias_coef,
                                         edge_mask=g.edge_mask,
                                         approx=cfg.approx_topk)
-            s_s, s_r = g.senders[idx], g.receivers[idx]
+            s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             probs_for_loss = weights
         elif pipeline == "hybrid" and cfg.hybrid_rescore:
             # TPU-first variant (cfg.hybrid_rescore): grads only ever reach
@@ -139,10 +167,20 @@ def make_learned_loss(cfg: Config, model, q: int):
                                         q, cfg.degree_bias_coef,
                                         edge_mask=g.tile_mask,
                                         approx=cfg.approx_topk)
-                idx = g.tile_perm[idx_t]
-                # validity must come from tile space: padding slots map
-                # to edge id 0, whose edge_mask may be True
-                sel_valid = g.tile_mask[idx_t]
+                if g.tile_aux is not None:
+                    # one packed tile-order aux gather replaces the
+                    # tile_perm->senders/receivers/tile_mask gather chain;
+                    # validity must come from TILE space (bit 2 of the tile
+                    # aux flags): padding slots map to edge id 0, whose
+                    # edge_mask may be True
+                    aux = g.tile_aux[idx_t]
+                    s_s, s_r = aux[:, 0], aux[:, 1]
+                    sel_valid = (aux[:, 2] & 4) > 0
+                    reg1_flags = aux[:, 2]
+                else:
+                    idx = g.tile_perm[idx_t]
+                    sel_valid = g.tile_mask[idx_t]
+                    s_s, s_r = g.senders[idx], g.receivers[idx]
             else:
                 probs_sample = jax.lax.stop_gradient(model.apply(
                     p, jax.lax.stop_gradient(h), g.senders, g.receivers,
@@ -152,7 +190,7 @@ def make_learned_loss(cfg: Config, model, q: int):
                                       cfg.degree_bias_coef,
                                       edge_mask=g.edge_mask,
                                       approx=cfg.approx_topk)
-            s_s, s_r = g.senders[idx], g.receivers[idx]
+                s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             weights = model.apply(p, h, s_s, s_r, False,
                                   cfg.hybrid_checkpoint, 0,
                                   rngs={"dropout": k_s2},
@@ -167,7 +205,7 @@ def make_learned_loss(cfg: Config, model, q: int):
                 k_sample, jax.lax.stop_gradient(probs_full), g.prob, q,
                 cfg.degree_bias_coef, edge_mask=g.edge_mask,
                 approx=cfg.approx_topk)
-            s_s, s_r = g.senders[idx], g.receivers[idx]
+            s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             # hybrid's trick: differentiable weights are a gather of the
             # SAME tensor used for sampling (training_hybrid.py:86)
             weights = probs_full[idx]

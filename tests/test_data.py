@@ -151,6 +151,59 @@ def test_registry_edge_attr_feature_init(tmp_path, rng):
     np.testing.assert_allclose(ds.x.sum(), e * 3)  # all edge attrs summed in
 
 
+def test_registry_fb100_mat(tmp_path, rng):
+    # Facebook100 .mat convention (LINKXDataset._process_facebook)
+    import scipy.io
+    import scipy.sparse as sp
+    n = 20
+    a = sp.random(n, n, density=0.2, random_state=1, dtype=np.float64)
+    a = ((a + a.T) > 0).astype(np.float64)
+    # local_info columns: [status, gender, major, minor, dorm, year, school]
+    meta = np.column_stack([
+        rng.integers(1, 3, n), rng.integers(0, 3, n),  # gender 0..2 -> y -1..1
+        rng.integers(1, 4, n), rng.integers(0, 2, n),
+        rng.integers(1, 5, n), rng.integers(2005, 2008, n),
+        np.full(n, 7),
+    ]).astype(np.float64)
+    scipy.io.savemat(tmp_path / "reed98.mat", {"A": sp.csr_matrix(a),
+                                               "local_info": meta})
+    cfg = Config(data_dir=str(tmp_path))
+    ds = get_dataset(cfg, "reed98")  # also exercises the SVD augmentation
+    assert ds.num_nodes == n
+    assert set(np.unique(ds.y)) <= {-1, 0, 1}
+    # one-hot blocks: column sums over each block are all-n
+    assert ds.train_mask.sum() > 0
+
+
+def test_registry_geom_gcn_text(tmp_path):
+    # geom-gcn out1_* convention (WebKB/Actor raw files)
+    n = 12
+    d = tmp_path / "texas"
+    d.mkdir()
+    (d / "out1_graph_edges.txt").write_text(
+        "src\tdst\n" + "".join(f"{i}\t{(i + 1) % n}\n" for i in range(n)))
+    (d / "out1_node_feature_label.txt").write_text(
+        "id\tfeat\tlabel\n" + "".join(
+            f"{i}\t{i},0,2\t{i % 2}\n" for i in range(n)))
+    cfg = Config(data_dir=str(tmp_path))
+    ds = get_dataset(cfg, "texas")
+    assert ds.num_nodes == n and ds.x.shape == (n, 3)
+    np.testing.assert_array_equal(ds.x[2], [2, 0, 2])
+    assert ds.num_classes == 2
+
+    # film/Actor variant: feature column is keyword indices into a binary vec
+    d2 = tmp_path / "film"
+    d2.mkdir()
+    (d2 / "out1_graph_edges.txt").write_text(
+        "src\tdst\n" + "".join(f"{i}\t{(i + 1) % n}\n" for i in range(n)))
+    (d2 / "out1_node_feature_label.txt").write_text(
+        "id\tfeat\tlabel\n" + "".join(
+            f"{i}\t{i},{i + 2}\t{i % 3}\n" for i in range(n)))
+    ds2 = get_dataset(cfg, "film")
+    assert ds2.x.shape[1] == 932  # Actor keyword-vocabulary floor
+    assert ds2.x[1, 3] == 1.0 and ds2.x[0, 3] == 0.0
+
+
 def test_node_homophily_and_assortativity(rng):
     from sgs_gnn_tpu.data import node_homophily, assortativity
     # perfect homophily: two disconnected same-label cliques

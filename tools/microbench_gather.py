@@ -52,24 +52,37 @@ def main():
     pack128 = jnp.tile(pack4, (1, 32))                    # (E, 128)
 
     fidx = idx.astype(jnp.float32)
+    fidx_sorted = idx_sorted.astype(jnp.float32)
+    packed1 = s * N + r  # (E,) int32 single-word pack (N*N < 2^31 here)
 
-    def g1d(f):
+    def g1d(s_, r_, f):
         i = f.astype(jnp.int32)
-        return s[i] + r[i]
+        return s_[i] + r_[i]
 
-    timeit("2 separate 1D gathers (s[idx], r[idx])", g1d, fidx)
-    timeit("1D gather sorted idx", lambda f: s[jnp.sort(f.astype(jnp.int32))],
-           fidx)
-    timeit("packed (E,2) row gather", lambda f: pack2[f.astype(jnp.int32)],
-           fidx)
-    timeit("packed (E,4) row gather", lambda f: pack4[f.astype(jnp.int32)],
-           fidx)
-    timeit("packed (E,128) row gather", lambda f: pack128[f.astype(jnp.int32)],
-           fidx)
-    # one-hot via MXU: select Q of E scalars... not viable at E=1M. skip.
-    # take_along_axis variant
-    timeit("take_along_axis 1D", lambda f: jnp.take(s, f.astype(jnp.int32)),
-           fidx)
+    timeit("2 separate 1D gathers (s[idx], r[idx])", g1d, s, r, fidx)
+    timeit("2 separate 1D gathers, presorted idx", g1d, s, r, fidx_sorted)
+    timeit("1 packed int32 gather (s*N+r)[idx] + unpack",
+           lambda p_, f: (lambda v: v // N + v % N)(
+               p_[f.astype(jnp.int32)]), packed1, fidx)
+    timeit("packed (E,2) row gather", lambda p_, f: p_[f.astype(jnp.int32)],
+           pack2, fidx)
+    timeit("packed (E,4) row gather", lambda p_, f: p_[f.astype(jnp.int32)],
+           pack4, fidx)
+    timeit("packed (E,128) row gather", lambda p_, f: p_[f.astype(jnp.int32)],
+           pack128, fidx)
+    timeit("take_along_axis 1D", lambda s_, f: jnp.take(s_, f.astype(jnp.int32)),
+           s, fidx)
+    # gather from a 256-wide bf16 table (the score-head shape, for reference)
+    h = jax.random.normal(key, (N, 256), jnp.bfloat16)
+
+    def head_gathers(h_, s_, r_, f):
+        i = f.astype(jnp.int32)
+        return h_[s_[i]] + h_[r_[i]]
+
+    timeit("(N,256) bf16 row gather x2 (head endpoint gathers)",
+           head_gathers, h, s, r, fidx)
+    timeit("(N,256) bf16 row gather x2, presorted idx",
+           head_gathers, h, s, r, fidx_sorted)
 
 
 if __name__ == "__main__":
