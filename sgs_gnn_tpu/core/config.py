@@ -109,6 +109,12 @@ class Config:
     # MXU matmuls. 'auto' = on-TPU for small-N partitions; 'on'/'off' force.
     dense_subgraph: str = 'auto'
     dense_threshold: int = 4096   # max node count for the dense route
+    # fused tile-pair score kernel (ops/score_tiles.py): build the tile-pair
+    # edge index at graph prep so the hybrid_rescore sampling pass runs the
+    # Pallas kernel. 'auto' = on-TPU only (the kernel needs Mosaic; CPU runs
+    # score via XLA); 'on' forces the tile layout on any backend (the
+    # portable fallback computes the same tile-order scores).
+    tile_index: str = 'auto'
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True
@@ -172,6 +178,8 @@ class Config:
               f"checkpoint_every={self.checkpoint_every} must be >= 0")
         check(self.dense_subgraph in ("auto", "on", "off"),
               f"dense_subgraph={self.dense_subgraph!r} must be auto|on|off")
+        check(self.tile_index in ("auto", "on", "off"),
+              f"tile_index={self.tile_index!r} must be auto|on|off")
         check(self.dense_threshold > 0,
               f"dense_threshold={self.dense_threshold} must be > 0")
         check(self.num_partitions >= 0,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
@@ -65,8 +66,8 @@ def partition_nodes(edge_index: np.ndarray, num_nodes: int, num_parts: int,
 def induced_subgraphs(x, edge_index, y, train_mask, val_mask, test_mask,
                       part: np.ndarray, num_parts: int,
                       pad: bool = True, prior: str = "degree",
-                      prior_probs: Optional[np.ndarray] = None
-                      ) -> List[Graph]:
+                      prior_probs: Optional[np.ndarray] = None,
+                      tile_index: bool = False) -> List[Graph]:
     """Materialize one Graph per partition: induced subgraph, relabeled
     nodes, inter-cluster edges dropped (ClusterData semantics). With
     pad=True all batches share the max node/edge shape, so the jitted step
@@ -119,9 +120,56 @@ def induced_subgraphs(x, edge_index, y, train_mask, val_mask, test_mask,
                         num_classes=int(y.max()) + 1,
                         pad_edges_to=max_e if pad else None,
                         pad_edge_node=max_n - 1 if pad else 0,
-                        sort_by_receiver=True)
+                        sort_by_receiver=True,
+                        tile_index=tile_index)
         out.append(g)
     # receiver_band is static under jit: unify to the max so every
     # (equal-shape) partition shares one compiled step executable
     max_band = max(g.receiver_band for g in out)
-    return [g.replace(receiver_band=max_band) for g in out]
+    out = [g.replace(receiver_band=max_band) for g in out]
+    if tile_index:
+        out = unify_tile_shapes(out)
+    return out
+
+
+def unify_tile_shapes(graphs: List[Graph]) -> List[Graph]:
+    """Pad every partition's tile-pair index (core/graph.py tile_* fields)
+    to one shared slot count so all batches hit a single compiled step.
+
+    If ANY partition declined the tile layout (>35% padding overhead,
+    ops/score_tiles.build_tile_index), tiles are dropped on all of them —
+    a mixed fleet would compile two executables and defeat the point.
+    Padding blocks address tile (0, 0) with local ids 0 and invalid flags,
+    so they score garbage that the tile-space sampler masks out."""
+    if not graphs:
+        return graphs
+    if any(g.tile_t == 0 for g in graphs):
+        return [g.replace(tile_ls=None, tile_lr=None, tile_su=None,
+                          tile_rv=None, tile_perm=None, tile_prob=None,
+                          tile_mask=None, tile_aux=None, tile_t=0, tile_b=0)
+                for g in graphs]
+    b = graphs[0].tile_b
+    max_ep = max(g.tile_ls.shape[0] for g in graphs)
+    out = []
+    for g in graphs:
+        ep = g.tile_ls.shape[0]
+        if ep == max_ep:
+            out.append(g)
+            continue
+        pe = max_ep - ep
+        pb = pe // b
+        zi = np.zeros(pe, np.int32)
+
+        def cat(a, padv):
+            return jnp.asarray(np.concatenate([np.asarray(a), padv]))
+
+        out.append(g.replace(
+            tile_ls=cat(g.tile_ls, zi), tile_lr=cat(g.tile_lr, zi),
+            tile_su=cat(g.tile_su, np.zeros(pb, np.int32)),
+            tile_rv=cat(g.tile_rv, np.zeros(pb, np.int32)),
+            tile_perm=cat(g.tile_perm, zi),
+            tile_prob=cat(g.tile_prob, np.zeros(pe, np.float32)),
+            tile_mask=cat(g.tile_mask, np.zeros(pe, bool)),
+            tile_aux=jnp.asarray(np.concatenate(
+                [np.asarray(g.tile_aux), np.zeros((pe, 3), np.int32)]))))
+    return out

@@ -86,10 +86,23 @@ def make_eval_step(cfg: Config, model, q: int, force_small: bool = False):
 
 def aggregate_eval(batch_results) -> Dict[str, float]:
     """Weighted-mean F1 across partition batches (reference
-    evaluate.py:169-172)."""
+    evaluate.py:169-172). One device_get moves every pending result in a
+    single transfer — callers may pass live device dicts without paying a
+    blocking readback per batch (the reference syncs 6 floats per partition
+    per epoch; at Reddit scale that is ~170k blocking readbacks per run)."""
+    batch_results = jax.device_get(batch_results)
     out = {}
     for split in ("train", "val", "test"):
         tot = sum(float(r[f"{split}_f1_weighted"]) for r in batch_results)
         cnt = sum(float(r[f"{split}_count"]) for r in batch_results)
         out[f"{split}_f1"] = tot / cnt if cnt > 0 else 0.0
     return out
+
+
+def accumulate_eval_device(acc, result):
+    """Device-side running sum of eval_step result dicts (weighted F1 sums
+    and counts are additive across partitions): the per-epoch eval loop
+    stays enqueue-only, with ONE host transfer in aggregate_eval."""
+    if acc is None:
+        return result
+    return jax.tree_util.tree_map(jnp.add, acc, result)

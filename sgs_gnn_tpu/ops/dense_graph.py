@@ -76,9 +76,11 @@ def use_dense_subgraph(cfg, n: int, num_edges: int) -> bool:
     """Static (trace-time) decision: densify per-step subgraphs?
 
     On for small node counts where N^2 is a few-MB matrix and the edge count
-    is large enough that per-row DMA dominates the sparse path. CPU backends
-    keep the sparse path (XLA:CPU dense matmul at N^2 is slower than its
-    scatter, and tests pin sparse/dense parity explicitly).
+    is large enough that per-row DMA dominates the sparse path. 'auto' keeps
+    CPU backends on the sparse path (XLA:CPU dense matmul at N^2 is slower
+    than its scatter); 'on' forces the dense route on any backend —
+    tests/test_train.py::test_dense_subgraph_parity pins sparse/dense
+    loss+grad parity that way on CPU.
     """
     if cfg.dense_subgraph == "off":
         return False

@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help='densify per-step subgraphs into (N,N) adjacencies '
                         '(MXU matmuls instead of gather/scatter)')
     p.add_argument('--dense_threshold', type=int, default=d.dense_threshold)
+    p.add_argument('--tile_index', type=str, default=d.tile_index,
+                   choices=['auto', 'on', 'off'],
+                   help='fused tile-pair score kernel for the hybrid '
+                        'sampling pass (auto = TPU only)')
     p.add_argument('--multihost', type=str2bool, nargs='?', const=True,
                    default=d.multihost,
                    help='initialize jax.distributed and run over all hosts')

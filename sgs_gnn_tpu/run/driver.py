@@ -34,7 +34,7 @@ from ..data.registry import get_dataset, HostDataset
 from ..data.partition import partition_nodes, induced_subgraphs
 from ..models import get_model, init_params
 from ..train import DualOptimizer, make_train_step
-from ..eval import make_eval_step, aggregate_eval
+from ..eval import make_eval_step, aggregate_eval, accumulate_eval_device
 
 
 @dataclass
@@ -56,10 +56,31 @@ class RunResult:
     test_curve: List[float] = field(default_factory=list)
 
 
+def want_tile_index(cfg: Config) -> bool:
+    """Static decision: build the tile-pair edge index at graph prep?
+
+    The fused tile-score kernel (ops/score_tiles.py) serves the
+    hybrid_rescore sampling pass only; 'auto' restricts it to TPU backends
+    (elsewhere scoring via XLA is faster than the portable tile fallback)."""
+    if cfg.tile_index == "off":
+        return False
+    if not (cfg.mode == "learned" and cfg.pipeline == "hybrid"
+            and cfg.hybrid_rescore and cfg.nhid <= 512):
+        return False
+    if cfg.data_parallel == "on" or cfg.halo:
+        # the scalar-prefetch BlockSpec grid is not shard_map-portable yet;
+        # sharded paths score via XLA (logged by log_fastpath_status)
+        return False
+    if cfg.tile_index == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def prepare_batches(cfg: Config, ds: HostDataset):
     """Partition decision + batch materialization (main.py:41-67)."""
     e = ds.num_edges
     use_partition = e >= cfg.metis_threshold
+    tiles = want_tile_index(cfg)
     if use_partition:
         num_parts = cfg.num_partitions or int(np.ceil(e / cfg.metis_threshold))
         q = int(cfg.metis_threshold * cfg.sample_perc)
@@ -67,14 +88,80 @@ def prepare_batches(cfg: Config, ds: HostDataset):
                                method="native")
         batches = induced_subgraphs(ds.x, ds.edge_index, ds.y, ds.train_mask,
                                     ds.val_mask, ds.test_mask, part,
-                                    num_parts)
+                                    num_parts, tile_index=tiles)
     else:
         q = int(e * cfg.sample_perc)
         batches = [Graph.build(ds.x, ds.edge_index, ds.y, ds.train_mask,
                                ds.val_mask, ds.test_mask, prob=ds.prob,
                                num_classes=ds.num_classes,
-                               sort_by_receiver=True)]
+                               sort_by_receiver=True, tile_index=tiles)]
     return batches, q
+
+
+def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
+    """One line per TPU fast path saying whether it is engaged and why not —
+    silent fallbacks (tile layout declined, head too wide, dense route off,
+    scatter kernel off) otherwise shed >1.5x of perf with no trace in
+    [stats]."""
+    g0 = batches[0]
+    backend = jax.default_backend()
+    # fused tile-pair score kernel (ops/score_tiles.py)
+    if cfg.mode != "learned" or cfg.pipeline != "hybrid" \
+            or not cfg.hybrid_rescore:
+        tile_s = "off (serves the learned hybrid_rescore path only)"
+    elif cfg.data_parallel == "on" or cfg.halo:
+        tile_s = "off (sharded paths score via XLA)"
+    elif cfg.tile_index == "off":
+        tile_s = "off (--tile_index off)"
+    elif cfg.nhid > 512:
+        tile_s = f"off (nhid={cfg.nhid} > 512: h tiles exceed VMEM budget)"
+    elif cfg.tile_index == "auto" and backend != "tpu":
+        tile_s = f"off (tile_index=auto on backend={backend})"
+    elif g0.tile_t == 0:
+        tile_s = "off (tile layout declined: padded slots would exceed " \
+                 "1.35x E — graph too tile-sparse)"
+    else:
+        slots = g0.tile_ls.shape[0]
+        tile_s = (f"on (t={g0.tile_t} b={g0.tile_b} slots={slots} "
+                  f"overhead={slots / max(g0.num_edges, 1):.2f}x)")
+    log_fn(f"[fastpath] tile_score_kernel={tile_s}")
+    # dense-subgraph route (ops/dense_graph.py)
+    from ..ops.dense_graph import use_dense_subgraph, dense_supported
+    use_rand = cfg.conditional or cfg.sparse_edge_mlp
+    if cfg.mode != "learned":
+        dense_s = "off (learned mode only)"
+    elif not use_rand:
+        dense_s = "off (needs conditional or sparse_edge_mlp)"
+    elif not dense_supported(cfg.GNN, cfg.edge_mlp_type):
+        dense_s = f"off (no dense route for GNN={cfg.GNN}/" \
+                  f"scorer={cfg.edge_mlp_type})"
+    elif use_dense_subgraph(cfg, g0.num_nodes, q):
+        dense_s = f"on (N={g0.num_nodes}: subgraph aggregation as " \
+                  f"(N,N) MXU matmuls)"
+    elif cfg.dense_subgraph == "off":
+        dense_s = "off (--dense_subgraph off)"
+    elif g0.num_nodes > cfg.dense_threshold:
+        dense_s = f"off (N={g0.num_nodes} > dense_threshold=" \
+                  f"{cfg.dense_threshold})"
+    elif cfg.dense_subgraph == "auto" and backend != "tpu":
+        dense_s = f"off (dense_subgraph=auto on backend={backend})"
+    else:
+        dense_s = f"off (E={g0.num_edges} < 4N: too sparse to amortize " \
+                  f"the adjacency build)"
+    log_fn(f"[fastpath] dense_subgraph={dense_s}")
+    # blocked one-hot scatter kernel inside SpMM (ops/spmm.py _scatter_rows)
+    fits = g0.num_nodes * cfg.nhid * 4 <= 6 * 1024 * 1024
+    if backend == "tpu" and cfg.dtype == "bfloat16" and fits:
+        scatter_s = "on"
+    elif backend != "tpu":
+        scatter_s = f"off (backend={backend})"
+    elif cfg.dtype != "bfloat16":
+        scatter_s = "off (dtype=float32: XLA scatter keeps f32 rows; " \
+                    "--dtype bfloat16 engages the MXU kernel)"
+    else:
+        scatter_s = f"off (N*nhid accumulator {g0.num_nodes}x{cfg.nhid} " \
+                    f"exceeds the 6MB VMEM budget)"
+    log_fn(f"[fastpath] scatter_mxu_kernel={scatter_s}")
 
 
 def _valid_edges(g: Graph) -> int:
@@ -112,6 +199,7 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     if cfg.log:
         log_fn(f"dataset={ds.name} N={ds.num_nodes} E={ds.num_edges} "
                f"He={ds.He:.4f} parts={n_batches} q={q}")
+        log_fastpath_status(cfg, batches, q, log_fn)
 
     model = get_model(cfg.GNN, batches[0].x.shape[1], cfg.nhid,
                       ds.num_classes, cfg.drop_rate, cfg.edge_mlp_type,
@@ -219,13 +307,16 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                        f"batches={len(order)} {seg_s} {mem_s}")
 
             if cfg.eval:
-                ev_res = []
+                # device-side accumulation across partitions; ONE host
+                # transfer per eval epoch inside aggregate_eval
+                ev_acc = None
                 for bi in range(n_batches):
                     ev = ev_big if valid_e[bi] > q else ev_small
-                    ev_res.append(ev(params, batches[bi],
-                                     jax.random.fold_in(run_key, 2**30 + epoch),
-                                     jnp.asarray(temp)))
-                agg = aggregate_eval(ev_res)
+                    ev_acc = accumulate_eval_device(ev_acc, ev(
+                        params, batches[bi],
+                        jax.random.fold_in(run_key, 2**30 + epoch),
+                        jnp.asarray(temp)))
+                agg = aggregate_eval([ev_acc])
                 tr_f1, va_f1, te_f1 = (agg["train_f1"], agg["val_f1"],
                                        agg["test_f1"])
                 res.train_curve.append(tr_f1)
@@ -264,13 +355,13 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         # reload best params for the final ensemble eval (main.py:264-270)
         if best_params_bytes is not None:
             params = serialization.from_bytes(params, best_params_bytes)
-        ev_res = []
+        ev_acc = None
         for bi in range(n_batches):
             ev = ev_big if valid_e[bi] > q else ev_small
-            ev_res.append(ev(params, batches[bi],
-                             jax.random.fold_in(run_key, 2**31 - 1),
-                             jnp.asarray(best_temp)))
-        agg = aggregate_eval(ev_res)
+            ev_acc = accumulate_eval_device(ev_acc, ev(
+                params, batches[bi], jax.random.fold_in(run_key, 2**31 - 1),
+                jnp.asarray(best_temp)))
+        agg = aggregate_eval([ev_acc])
         res.final_train_f1 = agg["train_f1"]
         res.final_val_f1 = agg["val_f1"]
         res.final_test_f1 = agg["test_f1"]
@@ -412,6 +503,7 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
         log_fn(f"dataset={ds.name} parts={len(batches)} devices={n_dev} "
                f"hosts={jax.process_count()} "
                f"super_steps/epoch={len(groups)} q={q}")
+        log_fastpath_status(cfg, batches, q, log_fn)
 
     model = get_model(cfg.GNN, batches[0].x.shape[1], cfg.nhid,
                       ds.num_classes, cfg.drop_rate, cfg.edge_mlp_type,
@@ -496,10 +588,13 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
                        f"super_steps={len(groups)} {seg_s} {mem_s}")
 
             if cfg.eval:
-                ev_res = [ev(params, gstack,
-                             jax.random.fold_in(run_key, 2**30 + epoch),
-                             jnp.asarray(temp)) for gstack in groups]
-                agg = aggregate_eval(ev_res)
+                ev_acc = None
+                for gstack in groups:
+                    ev_acc = accumulate_eval_device(ev_acc, ev(
+                        params, gstack,
+                        jax.random.fold_in(run_key, 2**30 + epoch),
+                        jnp.asarray(temp)))
+                agg = aggregate_eval([ev_acc])
                 res.train_curve.append(agg["train_f1"])
                 res.val_curve.append(agg["val_f1"])
                 res.test_curve.append(agg["test_f1"])
@@ -526,9 +621,12 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
         res.mean_epoch_time = float(np.mean(epoch_times)) if epoch_times else 0.0
         if best_params_bytes is not None:
             params = serialization.from_bytes(params, best_params_bytes)
-        ev_res = [ev(params, gstack, jax.random.fold_in(run_key, 2**31 - 1),
-                     jnp.asarray(best_temp)) for gstack in groups]
-        agg = aggregate_eval(ev_res)
+        ev_acc = None
+        for gstack in groups:
+            ev_acc = accumulate_eval_device(ev_acc, ev(
+                params, gstack, jax.random.fold_in(run_key, 2**31 - 1),
+                jnp.asarray(best_temp)))
+        agg = aggregate_eval([ev_acc])
         res.final_train_f1 = agg["train_f1"]
         res.final_val_f1 = agg["val_f1"]
         res.final_test_f1 = agg["test_f1"]

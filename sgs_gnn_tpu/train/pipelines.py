@@ -82,7 +82,6 @@ def make_learned_loss(cfg: Config, model, q: int):
         # densify per-step subgraphs? (ops/dense_graph.py: for small-N
         # partitions all message passing becomes dense MXU matmuls)
         dense = use_dense_subgraph(cfg, n, q) and use_rand
-        gnn_weighted = cfg.GNN in ("GCN", "Cheb")  # GIN/GAT ignore weights
         if use_rand:
             # degree-prior random subgraph, used for the conditional gate's
             # comparison forward AND as the scorer's propagation graph
@@ -226,8 +225,16 @@ def make_learned_loss(cfg: Config, model, q: int):
         learned_out = _apply_gnn(model, p, g.x, s_s, s_r, weights, k_g1)
         loss = masked_cross_entropy(learned_out, g.y, g.train_mask)
         if cfg.reg1:
-            loss = loss + cfg.regularizer1_coef * assortative_bce(
-                probs_for_loss, s_s, s_r, g.y, g.train_mask)
+            if reg1_flags is not None:
+                # packed path: the static edge labels rode the one aux-row
+                # gather already paid by select_edges / the tile aux table —
+                # no per-step y/train_mask gathers (parity test:
+                # tests/test_train.py::test_reg1_flags_matches_gather_form)
+                loss = loss + cfg.regularizer1_coef * assortative_bce_flags(
+                    probs_for_loss, reg1_flags)
+            else:
+                loss = loss + cfg.regularizer1_coef * assortative_bce(
+                    probs_for_loss, s_s, s_r, g.y, g.train_mask)
         if cfg.reg2:
             loss = loss + cfg.consist_reg_coef * consistency_loss(
                 probs_for_loss, s_s, s_r, learned_out, valid=sel_valid)

@@ -217,3 +217,45 @@ def test_node_homophily_and_assortativity(rng):
     s = np.concatenate([np.zeros(n - 1), np.arange(1, n)]).astype(np.int32)
     r = np.concatenate([np.arange(1, n), np.zeros(n - 1)]).astype(np.int32)
     assert assortativity(np.stack([s, r]), n) < 0
+
+
+def test_unify_tile_shapes_pads_to_common_shape():
+    """Partitioned batches with tile indexes must share one tile-slot shape
+    (single compiled step); padding blocks must be masked out of sampling."""
+    import jax.numpy as jnp
+    from sgs_gnn_tpu.core.graph import Graph
+    from sgs_gnn_tpu.data.partition import unify_tile_shapes
+    rng = np.random.default_rng(3)
+
+    def dense_part(n, e, seed):
+        r2 = np.random.default_rng(seed)
+        s = r2.integers(0, n, e).astype(np.int32)
+        r = r2.integers(0, n, e).astype(np.int32)
+        x = r2.normal(size=(n, 8)).astype(np.float32)
+        y = r2.integers(0, 3, n).astype(np.int32)
+        return Graph.build(x, np.stack([s, r]), y, num_classes=3,
+                           tile_index=True, tile_t=64, tile_b=128)
+
+    g1 = dense_part(128, 4000, 1)
+    g2 = dense_part(128, 2500, 2)
+    assert g1.tile_t == 64 and g2.tile_t == 64
+    out = unify_tile_shapes([g1, g2])
+    ep = out[0].tile_ls.shape[0]
+    assert all(g.tile_ls.shape[0] == ep for g in out)
+    assert all(g.tile_su.shape[0] == ep // 128 for g in out)
+    for g, orig in zip(out, (g1, g2)):
+        e0 = orig.tile_ls.shape[0]
+        # padding slots are invalid + zero prior
+        assert not bool(jnp.any(g.tile_mask[e0:]))
+        assert float(jnp.sum(g.tile_prob[e0:])) == 0.0
+        assert not bool(jnp.any((g.tile_aux[e0:, 2] & 4) > 0))
+        # original slots untouched
+        np.testing.assert_array_equal(np.asarray(g.tile_perm[:e0]),
+                                      np.asarray(orig.tile_perm))
+
+    # one partition declining drops tiles everywhere (single executable)
+    g3 = g1.replace(tile_ls=None, tile_lr=None, tile_su=None, tile_rv=None,
+                    tile_perm=None, tile_prob=None, tile_mask=None,
+                    tile_aux=None, tile_t=0, tile_b=0)
+    out2 = unify_tile_shapes([g1, g3])
+    assert all(g.tile_t == 0 and g.tile_ls is None for g in out2)

@@ -283,3 +283,116 @@ def test_hybrid_rescore_matches_reference_dataflow(rng):
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("gnn", ["GCN", "GIN", "Cheb"])
+@pytest.mark.parametrize("pipeline,conditional,sparse_mlp", [
+    ("hybrid", True, False),
+    ("hybrid", False, True),
+    ("two_pass", True, False),
+    ("two_pass", False, True),
+])
+def test_dense_subgraph_parity(rng, gnn, pipeline, conditional, sparse_mlp):
+    """dense_subgraph='on' must match 'off' (loss AND grads) on every
+    backbone/pipeline combination the dense route rewires — the densified
+    (N, N) adjacency path (ops/dense_graph.py) vs the sparse COO path.
+
+    The dense route only engages when a random propagation subgraph exists
+    (conditional or sparse_edge_mlp, train/pipelines.py), so both switch
+    settings are covered. drop_rate=0 so PRNG consumption is the only
+    nondeterminism and the two routes differ purely by accumulation order.
+    """
+    from sgs_gnn_tpu.train.pipelines import make_learned_loss
+    g = _homophilous_graph(rng)
+    q = int(g.num_edges * 0.3)
+    key = jax.random.PRNGKey(7)
+    losses, grads = [], []
+    for dense in ("on", "off"):
+        cfg = Config(pipeline=pipeline, mode="learned", GNN=gnn,
+                     conditional=conditional, sparse_edge_mlp=sparse_mlp,
+                     reg1=True, reg2=True, nhid=32, drop_rate=0.0,
+                     dense_subgraph=dense, donate=False)
+        model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                          cfg.drop_rate, cfg.edge_mlp_type)
+        params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                             g.receivers)
+        loss_fn = make_learned_loss(cfg, model, q)
+        (loss, _), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, g, key)
+        losses.append(float(loss))
+        grads.append(grad)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_dense_subgraph_parity_padded_edges(rng):
+    """Padding selections (valid < q shards) must be zeroed identically on
+    the dense route: pad the graph so sampling picks invalid edges."""
+    from sgs_gnn_tpu.train.pipelines import make_learned_loss
+    g0 = _homophilous_graph(rng, n=60)
+    e = g0.num_edges
+    ei = np.asarray(g0.edge_index)
+    # ghost node n (all-zero features, no masks) absorbs padding self-loops
+    x = np.concatenate([np.asarray(g0.x), np.zeros((1, g0.x.shape[1]),
+                                                   np.float32)])
+    y = np.concatenate([np.asarray(g0.y), [0]]).astype(np.int32)
+    masks = [np.concatenate([np.asarray(m), [False]])
+             for m in (g0.train_mask, g0.val_mask, g0.test_mask)]
+    g = Graph.build(x, ei, y, *masks, prob=np.asarray(g0.prob),
+                    num_classes=g0.num_classes, pad_edges_to=e + 200,
+                    pad_edge_node=60)
+    q = e + 50  # forces 50 padding selections
+    key = jax.random.PRNGKey(11)
+    losses, grads = [], []
+    for dense in ("on", "off"):
+        cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
+                     reg1=True, reg2=True, nhid=16, drop_rate=0.0,
+                     dense_subgraph=dense, donate=False)
+        model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                          cfg.drop_rate, cfg.edge_mlp_type)
+        params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                             g.receivers)
+        loss_fn = make_learned_loss(cfg, model, q)
+        (loss, _), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, g, key)
+        losses.append(float(loss))
+        grads.append(grad)
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("pipeline", ["two_pass", "straight_through",
+                                      "hybrid"])
+def test_reg1_flags_matches_gather_form(rng, pipeline):
+    """The packed reg1 path (flags riding the edge_aux gather,
+    assortative_bce_flags) must equal the y/train_mask gather form on every
+    pipeline: strip edge_aux from the graph and compare loss + grads."""
+    from sgs_gnn_tpu.train.pipelines import make_learned_loss
+    g = _homophilous_graph(rng, n=80)
+    q = int(g.num_edges * 0.3)
+    key = jax.random.PRNGKey(13)
+    cfg = Config(pipeline=pipeline, mode="learned", conditional=True,
+                 reg1=True, reg2=True, nhid=16, drop_rate=0.0, donate=False)
+    model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                      cfg.drop_rate, cfg.edge_mlp_type)
+    params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                         g.receivers)
+    loss_fn = make_learned_loss(cfg, model, q)
+    losses, grads = [], []
+    for graph in (g, g.replace(edge_aux=None)):
+        (loss, _), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, graph, key)
+        losses.append(float(loss))
+        grads.append(grad)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
