@@ -161,9 +161,11 @@ def _load_raw(cfg: Config, name: str):
     raise FileNotFoundError(
         f"Dataset '{name}' not found. This environment has no network "
         f"access; drop a cache at {npz} with arrays x/(2,E) edge_index/y "
-        f"and optional masks, Planetoid raw files under {raw_dir}, or a "
-        f"vendored raw format (Facebook100 .mat / geom-gcn out1_* text / "
-        f"LINKX film dir) under {os.path.join(ddir, name)}.")
+        f"and optional masks, Planetoid raw files under {raw_dir}, LINKX "
+        f"tensors under {os.path.join(ddir, 'LINKXdataset', name)} "
+        f"(x.pt/edge_index.pt/y.pt), or a vendored raw format (Facebook100 "
+        f".mat / geom-gcn out1_* text / GraphSAINT adj_full.npz dir / LINKX "
+        f"film dir) under {os.path.join(ddir, name)}.")
 
 
 def get_dataset(cfg: Config, name: Optional[str] = None) -> HostDataset:

@@ -16,6 +16,14 @@ already sit under ``<data_dir>``):
   feature-INDEX lists for film/Actor (932-dim binary bag of keywords).
 * LINKX film directory (Dataset.ipynb get_film): ``class_map.json`` +
   ``feats.npy`` + ``film_edges.csv``.
+* LINKX cached-tensor directory (Dataset.ipynb cell 7 ``LINKXpyg2``):
+  ``<data_dir>/LINKXdataset/<name>/{x.pt, edge_index.pt, y.pt}`` saved by
+  torch — the reference's path to its largest benchmark graphs
+  (wiki / pokec / arxiv-year / snap-patents / twitch-gamer). Masks follow
+  LINKXpyg2's 0.6/0.2/0.2 split.
+* GraphSAINT raw directory (Notebooks/RedditTwo.ipynb ``Reddit2.process``):
+  ``adj_full.npz`` (CSR data/indices/indptr/shape) + ``feats.npy`` +
+  ``class_map.json`` + ``role.json`` (tr/va/te index lists).
 
 All loaders return ``(x, edge_index, y, masks_dict)`` in the registry's host
 convention (float32 / int32 / int32, masks optional — the registry generates
@@ -94,6 +102,59 @@ def load_film_linkx(dirpath: str):
     return x, ei, y, {}
 
 
+def load_linkx_tensors(dirpath: str):
+    """LINKX cached-tensor directory → arrays (Dataset.ipynb cell 7
+    ``LINKXpyg2``: torch.load of x.pt / edge_index.pt / y.pt, then a
+    0.6/0.2/0.2 train_val_test_mask split)."""
+    import torch
+    from .transforms import train_val_test_masks
+
+    def ld(fname):
+        t = torch.load(os.path.join(dirpath, fname), map_location="cpu",
+                       weights_only=True)
+        return t.numpy() if isinstance(t, torch.Tensor) else np.asarray(t)
+
+    x = ld("x.pt").astype(np.float32)
+    ei = ld("edge_index.pt").astype(np.int32)
+    y = ld("y.pt").reshape(-1)
+    # LINKX labels may be -1 (unlabeled) or years (arxiv-year pre-binning);
+    # normalize negatives to a shifted contiguous range like the reference's
+    # label-shape normalization (Dataset.ipynb get_data tail)
+    y = y.astype(np.int64)
+    if y.min() < 0:
+        y = y - y.min()
+    y = y.astype(np.int32)
+    tr, va, te = train_val_test_masks(x.shape[0], 0.6, 0.2, 0.2)
+    return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
+
+
+def load_graphsaint_dir(dirpath: str):
+    """GraphSAINT raw directory → arrays (RedditTwo.ipynb Reddit2.process:
+    CSR adjacency + feats + class_map + role split)."""
+    import scipy.sparse as sp
+    f = np.load(os.path.join(dirpath, "adj_full.npz"))
+    adj = sp.csr_matrix((f["data"], f["indices"], f["indptr"]),
+                        shape=tuple(f["shape"])).tocoo()
+    ei = np.stack([adj.row.astype(np.int32), adj.col.astype(np.int32)])
+    x = np.load(os.path.join(dirpath, "feats.npy")).astype(np.float32)
+    n = x.shape[0]
+    y = np.full(n, -1, np.int64)
+    with open(os.path.join(dirpath, "class_map.json")) as fh:
+        for k, v in json.load(fh).items():
+            y[int(k)] = int(v)
+    if y.min() < 0:
+        y = y - y.min()
+    with open(os.path.join(dirpath, "role.json")) as fh:
+        role = json.load(fh)
+    masks = {}
+    for key, mk in (("tr", "train_mask"), ("va", "val_mask"),
+                    ("te", "test_mask")):
+        m = np.zeros(n, bool)
+        m[np.asarray(role[key], np.int64)] = True
+        masks[mk] = m
+    return x, ei, y.astype(np.int32), masks
+
+
 # datasets whose geom-gcn feature column is keyword indices, not dense values
 GEOM_GCN_SPARSE = {"film", "actor"}
 
@@ -106,7 +167,11 @@ def try_load_vendored(data_dir: str, name: str):
       <data_dir>/<name>/raw/<name>.mat            (PyG-style raw dir)
       <data_dir>/<name>/out1_graph_edges.txt      (geom-gcn text)
       <data_dir>/<name>/raw/out1_graph_edges.txt
-      <data_dir>/<name>/class_map.json            (LINKX film)
+      <data_dir>/LINKXdataset/<name>/x.pt         (LINKX cached tensors)
+      <data_dir>/<name>/raw/adj_full.npz          (GraphSAINT/Reddit2)
+      <data_dir>/<name>/adj_full.npz
+      <data_dir>/<name>/class_map.json + feats.npy + film_edges.csv
+                                                  (LINKX film)
     """
     lname = name.lower()
     for mat in (os.path.join(data_dir, f"{name}.mat"),
@@ -117,6 +182,13 @@ def try_load_vendored(data_dir: str, name: str):
               os.path.join(data_dir, name, "raw")):
         if os.path.exists(os.path.join(d, "out1_graph_edges.txt")):
             return load_geom_gcn(d, sparse_features=lname in GEOM_GCN_SPARSE)
+    lx = os.path.join(data_dir, "LINKXdataset", name)
+    if os.path.exists(os.path.join(lx, "x.pt")):
+        return load_linkx_tensors(lx)
+    for d in (os.path.join(data_dir, name, "raw"),
+              os.path.join(data_dir, name)):
+        if os.path.exists(os.path.join(d, "adj_full.npz")):
+            return load_graphsaint_dir(d)
     d = os.path.join(data_dir, name)
     if os.path.exists(os.path.join(d, "class_map.json")):
         return load_film_linkx(d)

@@ -259,3 +259,153 @@ def test_unify_tile_shapes_pads_to_common_shape():
                     tile_aux=None, tile_t=0, tile_b=0)
     out2 = unify_tile_shapes([g1, g3])
     assert all(g.tile_t == 0 and g.tile_ls is None for g in out2)
+
+
+def test_planetoid_raw_loader(tmp_path):
+    """Format-faithful synthetic ind.* fixture through the registry loader
+    (reference PyG Planetoid assembly used at datasets.py:52): pickled scipy
+    matrices, one-hot labels, permuted contiguous test.index — checks the
+    test-row permutation, masks, and feature placement."""
+    import pickle
+    import scipy.sparse as sp
+    from sgs_gnn_tpu.data.registry import _load_planetoid_raw
+
+    rng = np.random.default_rng(5)
+    n_tr, n_allx, n_te, f, c = 10, 50, 20, 8, 3
+    n = n_allx + n_te
+    allx = rng.random((n_allx, f)).astype(np.float32)
+    tx = rng.random((n_te, f)).astype(np.float32)
+    ally = np.eye(c, dtype=np.int32)[rng.integers(0, c, n_allx)]
+    ty = np.eye(c, dtype=np.int32)[rng.integers(0, c, n_te)]
+    # Planetoid test indices: a PERMUTED contiguous range [n_allx, n)
+    test_idx = rng.permutation(np.arange(n_allx, n))
+    graph = {i: [int(v) for v in rng.integers(0, n, 3)] for i in range(n)}
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    blobs = {"x": sp.csr_matrix(allx[:n_tr]), "tx": sp.csr_matrix(tx),
+             "allx": sp.csr_matrix(allx), "y": ally[:n_tr], "ty": ty,
+             "ally": ally, "graph": graph}
+    for suffix, obj in blobs.items():
+        with open(raw / f"ind.cora.{suffix}", "wb") as fh:
+            pickle.dump(obj, fh)
+    with open(raw / "ind.cora.test.index", "w") as fh:
+        fh.write("\n".join(str(i) for i in test_idx))
+
+    x, ei, y, masks = _load_planetoid_raw(str(raw), "cora")
+    assert x.shape == (n, f) and y.shape == (n,)
+    # tx row j belongs to node test_idx[j]; allx rows stay in place
+    np.testing.assert_allclose(x[:n_allx], allx, rtol=1e-6)
+    for j, node in enumerate(test_idx):
+        np.testing.assert_allclose(x[node], tx[j], rtol=1e-6)
+        assert y[node] == int(ty[j].argmax())
+    np.testing.assert_array_equal(y[:n_allx], ally.argmax(1))
+    tr, va, te = (masks["train_mask"], masks["val_mask"],
+                  masks["test_mask"])
+    assert tr[:n_tr].all() and not tr[n_tr:].any()
+    assert va[n_tr:n_tr + min(500, n - n_tr)].any()
+    assert te[test_idx].all() and te.sum() == n_te
+    # edges come straight from the graph dict
+    assert ei.shape[0] == 2 and ei.shape[1] == 3 * n
+
+
+def test_planetoid_raw_through_registry(tmp_path):
+    """SmallCora resolves to the Planetoid raw dir through get_dataset."""
+    import pickle
+    import scipy.sparse as sp
+    from sgs_gnn_tpu.core import Config
+    from sgs_gnn_tpu.data.registry import get_dataset
+
+    rng = np.random.default_rng(6)
+    n_allx, n_te, f, c = 30, 10, 4, 2
+    n = n_allx + n_te
+    raw = tmp_path / "SmallCora" / "raw"
+    raw.mkdir(parents=True)
+    allx = sp.csr_matrix(rng.random((n_allx, f)).astype(np.float32))
+    tx = sp.csr_matrix(rng.random((n_te, f)).astype(np.float32))
+    ally = np.eye(c, dtype=np.int32)[rng.integers(0, c, n_allx)]
+    ty = np.eye(c, dtype=np.int32)[rng.integers(0, c, n_te)]
+    graph = {i: [int((i + 1) % n), int((i + 2) % n)] for i in range(n)}
+    blobs = {"x": allx[:5], "tx": tx, "allx": allx, "y": ally[:5],
+             "ty": ty, "ally": ally, "graph": graph}
+    for suffix, obj in blobs.items():
+        with open(raw / f"ind.cora.{suffix}", "wb") as fh:
+            pickle.dump(obj, fh)
+    with open(raw / "ind.cora.test.index", "w") as fh:
+        fh.write("\n".join(str(i) for i in range(n_allx, n)))
+
+    ds = get_dataset(Config(dataset="SmallCora", data_dir=str(tmp_path)))
+    assert ds.num_nodes == n and ds.num_classes == c
+    assert ds.train_mask.sum() == 5 and ds.test_mask.sum() == n_te
+    assert ds.prob.shape == (ds.num_edges,)
+
+
+def test_linkx_tensor_loader(tmp_path):
+    """LINKXdataset/<name>/{x,edge_index,y}.pt convention (reference
+    Dataset.ipynb cell 7 LINKXpyg2) incl. the 0.6/0.2/0.2 split and
+    negative-label shift."""
+    import torch
+    from sgs_gnn_tpu.data.vendored import try_load_vendored
+
+    rng = np.random.default_rng(7)
+    n, e, f = 40, 120, 6
+    d = tmp_path / "LINKXdataset" / "pokec"
+    d.mkdir(parents=True)
+    x = rng.random((n, f)).astype(np.float32)
+    ei = rng.integers(0, n, (2, e)).astype(np.int64)
+    y = rng.integers(-1, 3, n).astype(np.int64)  # -1 = unlabeled
+    torch.save(torch.tensor(x), d / "x.pt")
+    torch.save(torch.tensor(ei), d / "edge_index.pt")
+    torch.save(torch.tensor(y), d / "y.pt")
+
+    out = try_load_vendored(str(tmp_path), "pokec")
+    assert out is not None
+    x2, ei2, y2, masks = out
+    np.testing.assert_allclose(x2, x, rtol=1e-6)
+    np.testing.assert_array_equal(ei2, ei.astype(np.int32))
+    np.testing.assert_array_equal(y2, (y - y.min()).astype(np.int32))
+    tr, va, te = (masks["train_mask"], masks["val_mask"],
+                  masks["test_mask"])
+    assert tr.sum() + va.sum() + te.sum() == n
+    assert abs(tr.sum() / n - 0.6) < 0.1
+
+
+def test_graphsaint_loader(tmp_path):
+    """Reddit2/GraphSAINT raw convention (reference RedditTwo.ipynb
+    Reddit2.process): CSR adj_full.npz + feats.npy + class_map.json +
+    role.json."""
+    import json as js
+    import scipy.sparse as sp
+    from sgs_gnn_tpu.data.vendored import try_load_vendored
+
+    rng = np.random.default_rng(8)
+    n, f, c = 30, 5, 4
+    adj = sp.random(n, n, density=0.2, format="csr",
+                    random_state=3, dtype=np.float64)
+    d = tmp_path / "Reddit2" / "raw"
+    d.mkdir(parents=True)
+    np.savez(d / "adj_full.npz", data=adj.data, indices=adj.indices,
+             indptr=adj.indptr, shape=np.array(adj.shape))
+    x = rng.random((n, f)).astype(np.float32)
+    np.save(d / "feats.npy", x)
+    y = rng.integers(0, c, n)
+    with open(d / "class_map.json", "w") as fh:
+        js.dump({str(i): int(y[i]) for i in range(n)}, fh)
+    perm = rng.permutation(n)
+    role = {"tr": perm[:20].tolist(), "va": perm[20:25].tolist(),
+            "te": perm[25:].tolist()}
+    with open(d / "role.json", "w") as fh:
+        js.dump(role, fh)
+
+    out = try_load_vendored(str(tmp_path), "Reddit2")
+    assert out is not None
+    x2, ei2, y2, masks = out
+    coo = adj.tocoo()
+    np.testing.assert_array_equal(ei2[0], coo.row.astype(np.int32))
+    np.testing.assert_array_equal(ei2[1], coo.col.astype(np.int32))
+    np.testing.assert_allclose(x2, x, rtol=1e-6)
+    np.testing.assert_array_equal(y2, y.astype(np.int32))
+    assert masks["train_mask"].sum() == 20
+    assert masks["val_mask"].sum() == 5
+    assert masks["test_mask"].sum() == 5
+    assert not (masks["train_mask"] & masks["test_mask"]).any()
