@@ -97,7 +97,7 @@ class Config:
                                   # (synchronous grad-psum superset mode)
     halo: bool = False            # halo-exchange mode: FULL-GRAPH semantics
                                   # with partitioned storage (parallel/
-                                  # halo_train.py); GCN backbone only
+                                  # halo_train.py); GCN/GIN backbones
     # multi-host execution (jax.distributed over ICI x DCN); one process per
     # host, each loading its own partition group (parallel/distributed.py)
     multihost: bool = False
@@ -185,11 +185,8 @@ class Config:
         check(self.num_partitions >= 0,
               f"num_partitions={self.num_partitions} must be >= 0")
         check(self.seed >= 0, f"seed={self.seed} must be >= 0")
-        check(not self.halo or self.GNN == 'GCN',
-              f"halo mode implements the GCN backbone, got GNN={self.GNN!r}")
-        check(not self.halo or self.pipeline == 'hybrid'
-              or self.mode != 'learned',
-              "halo learned mode runs the hybrid pipeline")
+        check(not self.halo or self.GNN in ('GCN', 'GIN'),
+              f"halo mode implements GCN/GIN backbones, got GNN={self.GNN!r}")
         check(not self.multihost or self.num_processes >= 1,
               f"num_processes={self.num_processes} must be >= 1")
         check(0 <= self.process_id < max(self.num_processes, 1),

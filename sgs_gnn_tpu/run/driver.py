@@ -680,6 +680,12 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
     if cfg.log:
         log_fn(f"dataset={ds.name} N={ds.num_nodes} E={ds.num_edges} "
                f"halo devices={n_dev} q_loc={hb.q_loc}")
+        saved = 1.0 - hb.ext_rows / max(hb.gather_rows, 1)
+        log_fn(f"[fastpath] halo_exchange=ppermute "
+               f"rows_per_exchange={hb.ext_rows} "
+               f"vs_all_gather={hb.gather_rows} "
+               f"({100 * saved:.1f}% traffic saved; "
+               f"rounds={[r for r in hb.round_sizes]})")
 
     model = get_model(cfg.GNN, ds.x.shape[1], cfg.nhid, ds.num_classes,
                       cfg.drop_rate, cfg.edge_mlp_type,

@@ -58,8 +58,8 @@ def _setup_halo(d=4, n=200, mode="full", seed=0, **cfg_kw):
     tm, vm, te = train_val_test_masks(n)
     part = partition_nodes(ei, n, d)
     cfg_kw.setdefault("drop_rate", 0.0)
-    cfg = Config(mode=mode, GNN="GCN", dataset="SyntheticSBM",
-                 **cfg_kw)
+    cfg_kw.setdefault("GNN", "GCN")
+    cfg = Config(mode=mode, dataset="SyntheticSBM", **cfg_kw)
     hb = build_halo_batch(x, ei, y, tm, vm, te, None, d, 4,
                           sample_perc=cfg.sample_perc, part=part)
     mesh = make_mesh(d)
@@ -109,6 +109,7 @@ def test_halo_full_mode_training_matches_single_device():
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from sgs_gnn_tpu.parallel.halo_train import (halo_gnn_forward,
+                                                 make_exchange,
                                                  _global_masked_ce)
     from sgs_gnn_tpu.train.losses import masked_cross_entropy
     g = Graph.build(x, ei, y, tm, vm, te, num_classes=4)
@@ -123,10 +124,12 @@ def test_halo_full_mode_training_matches_single_device():
     @partial(shard_map, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(),
              check_vma=False)
     def halo_grads(p, hb_):
+        exchange = make_exchange(hb_.send_idx[0], hb_.round_sizes, "data", d)
+
         def loss(p_):
-            out = halo_gnn_forward(p_["params"], hb_.x[0],
-                                   hb_.senders_flat[0], hb_.receivers_loc[0],
-                                   None, hb_.edge_mask[0], "data",
+            out = halo_gnn_forward(p_["params"], "GCN", hb_.x[0],
+                                   hb_.senders_ext[0], hb_.receivers_loc[0],
+                                   None, hb_.edge_mask[0], exchange,
                                    jnp.float32, 0.0, key=None)
             return _global_masked_ce(out, hb_.y[0], hb_.train_mask[0],
                                      "data")
@@ -188,5 +191,81 @@ def test_halo_learned_mode_trains():
         losses.append(float(m.loss))
     agg = aggregate_eval([ev(params, hb, jax.random.PRNGKey(5),
                              jnp.asarray(0.5))])
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert agg["train_f1"] > 0.5
+
+
+def test_halo_gin_forward_matches_model_apply():
+    """Halo-partitioned GIN forward == single-device full-graph forward."""
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.parallel.halo_train import halo_full_forward
+    d = 4
+    cfg, hb, mesh, (x, ei, y, *_, part) = _setup_halo(d=d, GNN="GIN")
+    model = get_model("GIN", x.shape[1], 32, 4, dropout_prob=0.0)
+    params = init_params(model, jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    want = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(ei[0]),
+                                  jnp.asarray(ei[1]), None,
+                                  deterministic=True))
+    cfg = cfg.replace(nhid=32, GNN="GIN")
+    got_sh = np.asarray(halo_full_forward(cfg, params, hb, mesh))
+    got = np.zeros_like(want)
+    for p in range(d):
+        ids = np.where(part == p)[0]
+        got[ids] = got_sh[p, :len(ids)]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_exchange_moves_fewer_rows_than_all_gather():
+    """The v2 per-pair ring exchange must move strictly fewer rows than the
+    v1 all_gather on a locality-partitioned graph, and the extended index
+    space must address every boundary sender correctly (covered by the
+    parity tests above; here we pin the measured traffic reduction)."""
+    _, hb, _, _ = _setup_halo(d=8, n=400)
+    assert hb.ext_rows < hb.gather_rows
+    assert hb.ext_rows == 8 * sum(hb.round_sizes)
+
+
+
+
+import pytest
+
+
+@pytest.mark.parametrize("pipeline,gnn", [
+    ("straight_through", "GCN"),
+    ("two_pass", "GCN"),
+    ("hybrid", "GIN"),
+])
+def test_halo_pipelines_train(pipeline, gnn):
+    """Every learned pipeline (and the GIN backbone) trains under halo."""
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.train import DualOptimizer
+    from sgs_gnn_tpu.eval import aggregate_eval
+    from sgs_gnn_tpu.parallel import (make_halo_train_step,
+                                      make_halo_eval_step, shard_halo_batch)
+    d = 4
+    cfg, hb, mesh, (x, ei, y, *_) = _setup_halo(
+        d=d, n=400, mode="learned", nhid=32, pipeline=pipeline, GNN=gnn,
+        conditional=True, reg1=True, reg2=True, sample_perc=0.5,
+        num_samples_eval=3, drop_rate=0.1)
+    model = get_model(gnn, x.shape[1], cfg.nhid, 4,
+                      dropout_prob=cfg.drop_rate,
+                      edge_mlp_type=cfg.edge_mlp_type)
+    params = init_params(model, jax.random.PRNGKey(2), jnp.asarray(x),
+                         jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    opt = DualOptimizer.create(params, gnn, cfg.lr, cfg.weight_decay)
+    opt_state = opt.init(params)
+    hb = shard_halo_batch(hb, mesh)
+    step = make_halo_train_step(cfg, opt, max_epoch=25, mesh=mesh)
+    ev = make_halo_eval_step(cfg, mesh)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for ep in range(25):
+        params, opt_state, m = step(params, opt_state, hb, jnp.asarray(ep),
+                                    jax.random.fold_in(key, ep))
+        losses.append(float(m.loss))
+    agg = aggregate_eval([ev(params, hb, jax.random.PRNGKey(5),
+                             jnp.asarray(0.5))])
+    assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     assert agg["train_f1"] > 0.5
