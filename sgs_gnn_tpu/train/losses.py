@@ -85,9 +85,16 @@ def consistency_loss(edge_probs, sampled_senders, sampled_receivers,
     torch cosine_similarity clamps the denominator at eps=1e-8. ``valid``
     (optional bool mask over sampled edges) excludes padding selections from
     the mean — identity when every sampled edge is real.
+
+    The two endpoint gathers go through ops/edge_gather.gather_rows so
+    their backward rides the blocked one-hot MXU scatter instead of XLA's
+    serialized TPU scatter — measured 4.0 ms of the 34 ms bench step was
+    this loss, almost all in the two (q, C) cotangent scatter-adds
+    (tools/profile_r3.py, round 3).
     """
-    src = node_embeddings[sampled_senders]
-    dst = node_embeddings[sampled_receivers]
+    from ..ops.edge_gather import gather_rows
+    src = gather_rows(node_embeddings, sampled_senders)
+    dst = gather_rows(node_embeddings, sampled_receivers)
     num = jnp.sum(src * dst, axis=-1)
 
     def safe_norm(v):
