@@ -331,10 +331,19 @@ def _halo_sage_conv(lp, x_loc, s_ext, r_loc, emask, exchange, dtype):
     return out.astype(jnp.float32)
 
 
+def _halo_cheb_conv(lp, x_loc, dtype):
+    """ChebConv K=1 (models/layers.py ChebConv, the reference's
+    configuration, model.py:217-219): reduces to Z = X Theta_0 + b — no
+    propagation, so no exchange. General K is served by the drop-edges
+    parallel mode."""
+    out = x_loc.astype(dtype) @ lp["lins_0"]["kernel"].astype(dtype)
+    return out.astype(jnp.float32) + lp["bias"].astype(jnp.float32)
+
+
 def halo_gnn_forward(pr, gnn, hb_loc, s_ext, r_loc, w, emask, exchange,
                      dtype, drop_rate, key=None):
-    """Backbone forward (models/backbones.py GNNModel/GINModel) on the local
-    shard with halo exchange per layer."""
+    """Backbone forward (models/backbones.py GNNModel/GINModel/ChebModel)
+    on the local shard with halo exchange per layer."""
     det = key is None
     k = jax.random.PRNGKey(0) if det else key
     if gnn == "GCN":
@@ -349,6 +358,10 @@ def halo_gnn_forward(pr, gnn, hb_loc, s_ext, r_loc, w, emask, exchange,
         h = _dropout(k, h, drop_rate, det)
         return _halo_gin_conv(pr["GIN_conv2"], h, s_ext, r_loc, emask,
                               exchange, dtype)
+    if gnn == "Cheb":
+        h = jax.nn.relu(_halo_cheb_conv(pr["gcn1"], hb_loc, dtype))
+        h = _dropout(k, h, drop_rate, det)
+        return _halo_cheb_conv(pr["gcn2"], h, dtype)
     raise NotImplementedError(gnn)
 
 
@@ -445,9 +458,9 @@ def _global_consistency(edge_probs, emb_u, emb_v, axis, n_total):
 
 
 def _check_supported(cfg: Config):
-    if cfg.GNN not in ("GCN", "GIN"):
+    if cfg.GNN not in ("GCN", "GIN", "Cheb"):
         raise NotImplementedError(
-            f"halo mode implements GCN and GIN backbones (got {cfg.GNN}); "
+            f"halo mode implements GCN/GIN/Cheb backbones (got {cfg.GNN}); "
             "others run in the drop-edges parallel mode")
     if cfg.mode == "learned" and cfg.edge_mlp_type not in ("GCN", "MLP",
                                                            "GSAGE"):
