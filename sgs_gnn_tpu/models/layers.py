@@ -110,11 +110,6 @@ class GATConv(nn.Module):
     def __call__(self, x, senders, receivers, edge_weight=None):
         n = x.shape[0]
         h, f = self.heads, self.features
-        # self-loops (PyG GATConv add_self_loops=True)
-        loop = jnp.arange(n, dtype=senders.dtype)
-        s = jnp.concatenate([senders, loop])
-        r = jnp.concatenate([receivers, loop])
-
         xw = nn.Dense(h * f, use_bias=False, name="lin", dtype=self.dtype,
                       kernel_init=nn.initializers.glorot_uniform())(x)
         xw = xw.astype(jnp.float32)
@@ -123,12 +118,36 @@ class GATConv(nn.Module):
         att_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (1, h, f))
         alpha_src = jnp.sum(xw * att_src, axis=-1)   # (N, H)
         alpha_dst = jnp.sum(xw * att_dst, axis=-1)   # (N, H)
-        logits = alpha_src[s] + alpha_dst[r]         # (E', H)
-        logits = nn.leaky_relu(logits, self.negative_slope)
-        alpha = jax.vmap(lambda lg: segment_softmax(lg, r, n), in_axes=1,
-                         out_axes=1)(logits)          # (E', H)
-        msgs = xw[s] * alpha[..., None]               # (E', H, F)
-        out = jax.ops.segment_sum(msgs, r, num_segments=n)
+        if isinstance(senders, DenseEdges):
+            # densified subgraph: attention logits are rank-1 over (N, N)
+            # (l[r, s] = a_src[s] + a_dst[r]), so the per-destination
+            # softmax is a masked dense row softmax weighted by the edge
+            # MULTIPLICITY counts in adj (duplicate edges contribute
+            # separately, matching the segment form); self-loops add +1
+            # multiplicity exactly like the concatenated loop edges below.
+            cnt = senders.adj + jnp.eye(n, dtype=senders.adj.dtype)
+
+            def head_out(a_s, a_d, xw_h):
+                lg = nn.leaky_relu(a_s[None, :] + a_d[:, None],
+                                   self.negative_slope)      # (N, N) r,s
+                lg = jnp.where(cnt > 0, lg, -jnp.inf)
+                w = cnt * jnp.exp(lg - jnp.max(lg, axis=1, keepdims=True))
+                w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-16)
+                return w.astype(xw_h.dtype) @ xw_h           # (N, F)
+
+            out = jax.vmap(head_out, in_axes=(1, 1, 1), out_axes=1)(
+                alpha_src, alpha_dst, xw)                    # (N, H, F)
+        else:
+            # self-loops (PyG GATConv add_self_loops=True)
+            loop = jnp.arange(n, dtype=senders.dtype)
+            s = jnp.concatenate([senders, loop])
+            r = jnp.concatenate([receivers, loop])
+            logits = alpha_src[s] + alpha_dst[r]         # (E', H)
+            logits = nn.leaky_relu(logits, self.negative_slope)
+            alpha = jax.vmap(lambda lg: segment_softmax(lg, r, n), in_axes=1,
+                             out_axes=1)(logits)          # (E', H)
+            msgs = xw[s] * alpha[..., None]               # (E', H, F)
+            out = jax.ops.segment_sum(msgs, r, num_segments=n)
         if self.concat:
             out = out.reshape(n, h * f)
             bias = self.param("bias", nn.initializers.zeros, (h * f,))

@@ -66,9 +66,10 @@ def dense_adj(senders, receivers, n: int, weights=None, valid=None
 
 
 def dense_supported(gnn: str, edge_mlp_type: str) -> bool:
-    """Backbone/scorer combinations with a dense layer route. GAT needs a
-    masked dense softmax variant (not yet implemented) -> sparse fallback."""
-    return gnn in ("GCN", "GIN", "Cheb") and \
+    """Backbone/scorer combinations with a dense layer route (every
+    backbone: GAT runs a multiplicity-weighted masked dense row softmax,
+    models/layers.py GATConv)."""
+    return gnn in ("GCN", "GIN", "Cheb", "GAT") and \
         edge_mlp_type in ("GCN", "MLP", "GSAGE")
 
 

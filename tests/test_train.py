@@ -285,7 +285,7 @@ def test_hybrid_rescore_matches_reference_dataflow(rng):
                                    rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("gnn", ["GCN", "GIN", "Cheb"])
+@pytest.mark.parametrize("gnn", ["GCN", "GIN", "Cheb", "GAT"])
 @pytest.mark.parametrize("pipeline,conditional,sparse_mlp", [
     ("hybrid", True, False),
     ("hybrid", False, True),
