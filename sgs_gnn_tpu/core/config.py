@@ -97,7 +97,7 @@ class Config:
                                   # (synchronous grad-psum superset mode)
     halo: bool = False            # halo-exchange mode: FULL-GRAPH semantics
                                   # with partitioned storage (parallel/
-                                  # halo_train.py); GCN/GIN backbones
+                                  # halo_train.py); all four backbones
     # multi-host execution (jax.distributed over ICI x DCN); one process per
     # host, each loading its own partition group (parallel/distributed.py)
     multihost: bool = False
@@ -185,9 +185,6 @@ class Config:
         check(self.num_partitions >= 0,
               f"num_partitions={self.num_partitions} must be >= 0")
         check(self.seed >= 0, f"seed={self.seed} must be >= 0")
-        check(not self.halo or self.GNN in ('GCN', 'GIN', 'Cheb'),
-              f"halo mode implements GCN/GIN/Cheb backbones, "
-              f"got GNN={self.GNN!r}")
         check(not self.multihost or self.num_processes >= 1,
               f"num_processes={self.num_processes} must be >= 1")
         check(0 <= self.process_id < max(self.num_processes, 1),

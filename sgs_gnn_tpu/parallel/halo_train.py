@@ -42,8 +42,8 @@ Because the model is re-expressed as sharded collectives, the flax modules
 cannot be applied directly; the forward is re-implemented functionally from
 the same parameter pytree (names pinned by the dual-optimizer contract,
 models/backbones.py docstring) and pinned to the module implementations by
-the allclose parity tests. Supported: GNN in {GCN, GIN} with GCN/MLP/GSAGE
-scorers.
+the allclose parity tests. Supported: all four backbones (GCN, GIN, Cheb,
+GAT) with GCN/MLP/GSAGE scorers.
 """
 from __future__ import annotations
 
@@ -331,6 +331,40 @@ def _halo_sage_conv(lp, x_loc, s_ext, r_loc, emask, exchange, dtype):
     return out.astype(jnp.float32)
 
 
+def _halo_gat_conv(lp, x_loc, s_ext, r_loc, emask, exchange, dtype,
+                   concat: bool):
+    """GATConv (models/layers.py GATConv, sparse branch) with halo exchange:
+    per-node attention terms are computed locally, the sender-side terms and
+    projected features ride the ring exchange, and the per-destination
+    segment softmax is local (every inbound edge of a node lives on its
+    owner). Self-loops are appended as local edges (PyG add_self_loops)."""
+    n_loc = x_loc.shape[0]
+    att_src = lp["att_src"]
+    _, h, f = att_src.shape
+    xw = (x_loc.astype(dtype) @ lp["lin"]["kernel"].astype(dtype))
+    xw = xw.astype(jnp.float32).reshape(n_loc, h, f)
+    alpha_src = jnp.sum(xw * att_src, axis=-1)       # (N_loc, H)
+    alpha_dst = jnp.sum(xw * lp["att_dst"], axis=-1)
+    # exchange sender-side quantities; self-loop edges are local slots
+    as_ext = exchange(alpha_src)                     # (N_ext, H)
+    xw_ext = exchange(xw.reshape(n_loc, h * f)).reshape(-1, h, f)
+    loop = jnp.arange(n_loc, dtype=s_ext.dtype)
+    s = jnp.concatenate([s_ext, loop])
+    r = jnp.concatenate([r_loc, loop])
+    m = jnp.concatenate([emask, jnp.ones(n_loc, bool)])
+    logits = as_ext[s] + alpha_dst[r]                # (E'+N_loc, H)
+    logits = jax.nn.leaky_relu(logits, 0.2)
+    logits = jnp.where(m[:, None], logits, -jnp.inf)
+    from ..ops.segment import segment_softmax
+    alpha = jax.vmap(lambda lg: segment_softmax(lg, r, n_loc), in_axes=1,
+                     out_axes=1)(logits)
+    msgs = xw_ext[s] * alpha[..., None]
+    out = jax.ops.segment_sum(msgs, r, num_segments=n_loc)
+    if concat:
+        return out.reshape(n_loc, h * f) + lp["bias"].astype(jnp.float32)
+    return jnp.mean(out, axis=1) + lp["bias"].astype(jnp.float32)
+
+
 def _halo_cheb_conv(lp, x_loc, dtype):
     """ChebConv K=1 (models/layers.py ChebConv, the reference's
     configuration, model.py:217-219): reduces to Z = X Theta_0 + b — no
@@ -362,6 +396,13 @@ def halo_gnn_forward(pr, gnn, hb_loc, s_ext, r_loc, w, emask, exchange,
         h = jax.nn.relu(_halo_cheb_conv(pr["gcn1"], hb_loc, dtype))
         h = _dropout(k, h, drop_rate, det)
         return _halo_cheb_conv(pr["gcn2"], h, dtype)
+    if gnn == "GAT":
+        h = jax.nn.relu(_halo_gat_conv(pr["GAT_conv1"], hb_loc, s_ext,
+                                       r_loc, emask, exchange, dtype,
+                                       concat=True))
+        h = _dropout(k, h, drop_rate, det)
+        return _halo_gat_conv(pr["GAT_conv2"], h, s_ext, r_loc, emask,
+                              exchange, dtype, concat=False)
     raise NotImplementedError(gnn)
 
 
@@ -458,10 +499,8 @@ def _global_consistency(edge_probs, emb_u, emb_v, axis, n_total):
 
 
 def _check_supported(cfg: Config):
-    if cfg.GNN not in ("GCN", "GIN", "Cheb"):
-        raise NotImplementedError(
-            f"halo mode implements GCN/GIN/Cheb backbones (got {cfg.GNN}); "
-            "others run in the drop-edges parallel mode")
+    if cfg.GNN not in ("GCN", "GIN", "Cheb", "GAT"):
+        raise NotImplementedError(cfg.GNN)
     if cfg.mode == "learned" and cfg.edge_mlp_type not in ("GCN", "MLP",
                                                            "GSAGE"):
         raise NotImplementedError(cfg.edge_mlp_type)

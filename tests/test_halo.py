@@ -235,6 +235,7 @@ import pytest
     ("straight_through", "GCN"),
     ("two_pass", "GCN"),
     ("hybrid", "GIN"),
+    ("hybrid", "GAT"),
 ])
 def test_halo_pipelines_train(pipeline, gnn):
     """Every learned pipeline (and the GIN backbone) trains under halo."""
@@ -284,6 +285,27 @@ def test_halo_cheb_forward_matches_model_apply():
                                   jnp.asarray(ei[1]), None,
                                   deterministic=True))
     cfg = cfg.replace(nhid=32, GNN="Cheb")
+    got_sh = np.asarray(halo_full_forward(cfg, params, hb, mesh))
+    got = np.zeros_like(want)
+    for p in range(d):
+        ids = np.where(part == p)[0]
+        got[ids] = got_sh[p, :len(ids)]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_gat_forward_matches_model_apply():
+    """Halo GAT forward == single-device full-graph GAT forward."""
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.parallel.halo_train import halo_full_forward
+    d = 4
+    cfg, hb, mesh, (x, ei, y, *_, part) = _setup_halo(d=d, GNN="GAT")
+    model = get_model("GAT", x.shape[1], 32, 4, dropout_prob=0.0, heads=2)
+    params = init_params(model, jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    want = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(ei[0]),
+                                  jnp.asarray(ei[1]), None,
+                                  deterministic=True))
+    cfg = cfg.replace(nhid=32, GNN="GAT")
     got_sh = np.asarray(halo_full_forward(cfg, params, hb, mesh))
     got = np.zeros_like(want)
     for p in range(d):
