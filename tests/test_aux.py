@@ -229,3 +229,45 @@ def test_segment_profiler_names_and_values(rng, small_graph):
     ms2 = prof2(params, g, _jax.random.PRNGKey(2))
     assert ms2["edge_mlp_pre"] == 0.0 and ms2["edge_score"] == 0.0
     assert ms2["backward"] > 0
+
+
+def test_fastpath_status_lines(small_graph):
+    """log_fastpath_status emits one line per fast path with a reason."""
+    from sgs_gnn_tpu.core import Config
+    from sgs_gnn_tpu.run.driver import log_fastpath_status, want_tile_index
+    g = small_graph
+    lines = []
+    cfg = Config(mode="learned", pipeline="hybrid")
+    log_fastpath_status(cfg, [g], q=100, log_fn=lines.append)
+    assert len(lines) == 3
+    assert all(ln.startswith("[fastpath]") for ln in lines)
+    # CPU backend: tile=auto declines, dense=auto declines, scatter off
+    assert "tile_score_kernel=off" in lines[0]
+    assert "dense_subgraph=off" in lines[1]
+    assert "scatter_mxu_kernel=off" in lines[2]
+    # every off-line carries a parenthesized reason
+    assert all("(" in ln for ln in lines)
+    # non-hybrid pipelines report the tile kernel as not applicable
+    lines2 = []
+    log_fastpath_status(Config(mode="random"), [g], q=100,
+                        log_fn=lines2.append)
+    assert "hybrid_rescore" in lines2[0]
+
+
+def test_want_tile_index_decision():
+    from sgs_gnn_tpu.core import Config
+    from sgs_gnn_tpu.run.driver import want_tile_index
+    base = dict(mode="learned", pipeline="hybrid")
+    assert want_tile_index(Config(**base, tile_index="on"))
+    assert not want_tile_index(Config(**base, tile_index="off"))
+    # auto on CPU declines
+    assert not want_tile_index(Config(**base))
+    # wide heads exceed the VMEM budget
+    assert not want_tile_index(Config(**base, tile_index="on", nhid=640))
+    # sharded paths score via XLA
+    assert not want_tile_index(Config(**base, tile_index="on",
+                                      data_parallel="on"))
+    assert not want_tile_index(Config(**base, tile_index="on", halo=True))
+    # serves the hybrid_rescore path only
+    assert not want_tile_index(Config(mode="learned", pipeline="two_pass",
+                                      tile_index="on"))
