@@ -409,3 +409,28 @@ def test_graphsaint_loader(tmp_path):
     assert masks["val_mask"].sum() == 5
     assert masks["test_mask"].sum() == 5
     assert not (masks["train_mask"] & masks["test_mask"]).any()
+
+
+def test_reddit_subsample_registry_path(tmp_path):
+    """Reddit0.x resolves through the registry against a cached Reddit npz
+    (reference RedditSynthetic per-node subsampling, Dataset.ipynb cell 11):
+    keeps ~x of the edges, biased toward homophilic ones."""
+    from sgs_gnn_tpu.core import Config
+    from sgs_gnn_tpu.data.registry import get_dataset
+
+    rng = np.random.default_rng(9)
+    n, e, f, c = 80, 1200, 6, 4
+    x = rng.random((n, f)).astype(np.float32)
+    ei = rng.integers(0, n, (2, e)).astype(np.int32)
+    y = rng.integers(0, c, n).astype(np.int32)
+    np.savez(tmp_path / "Reddit.npz", x=x, edge_index=ei, y=y)
+
+    full = get_dataset(Config(dataset="Reddit", data_dir=str(tmp_path)))
+    sub = get_dataset(Config(dataset="Reddit0.5", data_dir=str(tmp_path)))
+    assert sub.num_nodes == n
+    # subsample happens pre-undirected: 0.5 of raw edges survive, then
+    # symmetrization; the result must be substantially smaller
+    assert sub.num_edges < full.num_edges
+    # homophily bias (h=0.9): kept fraction must skew homophilic
+    he_full, he_sub = full.He, sub.He
+    assert he_sub > he_full
