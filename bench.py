@@ -44,6 +44,8 @@ def build_partition(n_nodes=2048, n_edges=1_000_000, feat=602, classes=41,
 
 
 def main():
+    from sgs_gnn_tpu.utils.compcache import enable as enable_compcache
+    enable_compcache()
     import jax
     import jax.numpy as jnp
     from sgs_gnn_tpu.core import Config

@@ -134,6 +134,24 @@ class _EdgeScorer(nn.Module):
 
     def score_from(self, h, senders, receivers, deterministic: bool = True,
                    use_remat: bool = False, receiver_band: int = 0):
+        from ..ops.score_sampled import (score_head_sampled,
+                                         use_fused_sampled_head)
+        if receiver_band == 0 and use_fused_sampled_head(
+                h.shape[0], h.shape[1], self.hidden_dim):
+            # Fused sampled-edge head kernel (ops/score_sampled.py): the
+            # indices are dynamic/unsorted (no banded scatter applies), so
+            # gather + head + dh scatter ride one VMEM-resident kernel.
+            # Its backward recomputes the forward, subsuming `use_remat`.
+            rate = 0.0 if deterministic else self.head.dropout_prob
+            seed = 0
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max)
+            return score_head_sampled(
+                h.astype(self.dtype), self.head.fc1.kernel,
+                self.head.fc1.bias, self.head.fc2.kernel, self.head.fc2.bias,
+                senders, receivers, drop_rate=rate, seed=seed)
+
         def score(h_):
             return self.head(gather_rows(h_, senders),
                              gather_rows(h_, receivers, receiver_band),

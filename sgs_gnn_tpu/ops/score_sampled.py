@@ -1,0 +1,347 @@
+"""Fused sampled-edge score-head kernel (Pallas TPU), forward + backward.
+
+The hybrid fast path's gradient head re-runs the score MLP on the q sampled
+edges (train/pipelines.py, reference training_hybrid.py:86: gradients only
+ever reach the scorer through probs_full[idx]).  The XLA lowering costs
+~9 ms at q=200k, F=256 on v5e: two per-row-DMA endpoint gathers (~2.4 ms),
+HBM round-trips for the (q, 2F) features and (q, K) activations, and two
+one-hot MXU scatter-adds for dh (~4-5 ms).  The sampled indices are dynamic
+and UNSORTED, so neither the banded scatter nor the static tile layout of
+ops/score_tiles.py applies.
+
+This kernel keeps the whole (N, F) embedding table VMEM-resident (cluster
+partitions have N ~= 2k) and fuses per edge block:
+
+    one-hot(N, B) selects on the MXU  ->  hu, hv            (no DMA gathers)
+    z = (hu*hv) @ W1a + (hu-hv) @ W1b + b1; relu; dropout   (no concat)
+    p = sigmoid(z @ w2 + b2)
+
+The backward kernel receives dp, RECOMPUTES the forward per block (the
+dropout mask is regenerated from the same per-block PRNG seed — remat by
+construction, so `--hybrid_checkpoint` is subsumed), and accumulates
+  dh   += OHs @ dhu + OHr @ dhv        (VMEM accumulator, one HBM write)
+  dW1a += (hu*hv)^T dz   dW1b += (hu-hv)^T dz   db1, dw2, db2
+across the sequential grid.  No HBM intermediates exist in either pass.
+
+FLOP cost stays N*F*2 per edge per one-hot op (4 per edge over fwd+bwd) —
+the standing one-hot tax for dynamic indices (PERF.md: Mosaic cannot
+express per-row dynamic VMEM gather) — but HBM traffic drops to the ids,
+dp, and one dh write, and all four gather/scatter ops plus the head ride a
+single kernel launch per pass.
+
+Dropout uses the in-kernel TPU PRNG (pltpu.prng_random_bits), a different
+stream than flax's jax.random — statistically equivalent noise; identical
+bits are regenerated in the backward so the VJP is exact for the sampled
+function (same contract as ops/score_tiles.py's forward kernel).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def use_fused_sampled_head(n: int, f: int, k: int, block: int = 512) -> bool:
+    """Engage the fused kernel?  TPU backend, MXU-aligned head widths, and
+    the block's working set (two one-hot panels + h + dh + activation
+    buffers) within the VMEM budget."""
+    if jax.default_backend() != "tpu":
+        return False
+    if f % 128 != 0 or k % 128 != 0:
+        return False
+    n_pad = _round_up(max(n, 8), 8)
+    onehots = 2 * n_pad * block * 2
+    tables = n_pad * f * (2 + 4)          # h (bf16) + dh accumulator (f32)
+    buffers = 8 * block * max(f, k) * 4
+    return onehots + tables + buffers <= _VMEM_BUDGET
+
+
+def _dropout_consts(drop_rate: float):
+    keep = 1.0 - drop_rate
+    thresh = np.uint32(min(int(drop_rate * (1 << 32)), (1 << 32) - 1))
+    return keep, thresh
+
+
+def _onehot(ids, n, dtype):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, ids.shape[0]), 0)
+    return (iota == ids[None, :]).astype(dtype)          # (N, B)
+
+
+_DN0 = (((0,), (0,)), ((), ()))      # contract dim0 x dim0
+
+
+def _make_fwd_kernel(bk: int, k: int, drop_rate: float):
+    keep, thresh = _dropout_consts(drop_rate)
+
+    def kernel(seed_ref, sid_ref, rid_ref, h_ref, w1a_ref, w1b_ref, b1_ref,
+               w2_ref, b2_ref, out_ref):
+        i = pl.program_id(0)
+        sid = sid_ref[0, 0, :]                    # (B,) int32
+        rid = rid_ref[0, 0, :]
+        h = h_ref[:]                              # (Np, F)
+        n = h.shape[0]
+        ohs = _onehot(sid, n, h.dtype)            # (Np, B)
+        ohr = _onehot(rid, n, h.dtype)
+        hu = jax.lax.dot_general(ohs, h, _DN0,
+                                 preferred_element_type=jnp.float32)
+        hv = jax.lax.dot_general(ohr, h, _DN0,
+                                 preferred_element_type=jnp.float32)
+        hu = hu.astype(h.dtype)                   # (B, F)
+        hv = hv.astype(h.dtype)
+        z = jax.lax.dot(hu * hv, w1a_ref[:],
+                        preferred_element_type=jnp.float32)
+        z += jax.lax.dot(hu - hv, w1b_ref[:],
+                         preferred_element_type=jnp.float32)
+        z += b1_ref[0, :][None, :].astype(jnp.float32)
+        z = jnp.maximum(z, 0.0)
+        if drop_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + i)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((bk, k)), jnp.uint32)
+            z = jnp.where(bits >= thresh, z * (1.0 / keep), 0.0)
+        w2 = w2_ref[0, :][None, :].astype(jnp.float32)
+        logit = jnp.sum(z * w2, axis=1) + b2_ref[0, 0]
+        out_ref[0, 0, :] = jax.nn.sigmoid(logit)
+
+    return kernel
+
+
+def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
+    keep, thresh = _dropout_consts(drop_rate)
+
+    def kernel(seed_ref, sid_ref, rid_ref, dp_ref, h_ref, w1a_ref, w1b_ref,
+               b1_ref, w2_ref, b2_ref,
+               dh_ref, dw1a_ref, dw1b_ref, db1_ref, dw2_ref, db2_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dh_ref[:] = jnp.zeros_like(dh_ref)
+            dw1a_ref[:] = jnp.zeros_like(dw1a_ref)
+            dw1b_ref[:] = jnp.zeros_like(dw1b_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+
+        sid = sid_ref[0, 0, :]
+        rid = rid_ref[0, 0, :]
+        h = h_ref[:]
+        n = h.shape[0]
+        ohs = _onehot(sid, n, h.dtype)
+        ohr = _onehot(rid, n, h.dtype)
+        hu = jax.lax.dot_general(ohs, h, _DN0,
+                                 preferred_element_type=jnp.float32)
+        hv = jax.lax.dot_general(ohr, h, _DN0,
+                                 preferred_element_type=jnp.float32)
+        hu = hu.astype(h.dtype)
+        hv = hv.astype(h.dtype)
+        prod = hu * hv
+        diff = hu - hv
+        w1a = w1a_ref[:]
+        w1b = w1b_ref[:]
+        z1 = jax.lax.dot(prod, w1a, preferred_element_type=jnp.float32)
+        z1 += jax.lax.dot(diff, w1b, preferred_element_type=jnp.float32)
+        z1 += b1_ref[0, :][None, :].astype(jnp.float32)
+        zr = jnp.maximum(z1, 0.0)
+        if drop_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + i)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((bk, k)), jnp.uint32)
+            keepmask = bits >= thresh
+            zd = jnp.where(keepmask, zr * (1.0 / keep), 0.0)
+        else:
+            zd = zr
+        w2 = w2_ref[0, :][None, :].astype(jnp.float32)    # (1, K)
+        logit = jnp.sum(zd * w2, axis=1) + b2_ref[0, 0]
+        p = jax.nn.sigmoid(logit)
+        dlogit = dp_ref[0, 0, :] * p * (1.0 - p)          # (B,) f32
+
+        db2_ref[:] += jnp.broadcast_to(jnp.sum(dlogit), db2_ref.shape)
+        dw2_ref[0, :] += jnp.sum(zd * dlogit[:, None], axis=0)
+        dzd = dlogit[:, None] * w2                        # (B, K)
+        if drop_rate > 0.0:
+            dzr = jnp.where(keepmask, dzd * (1.0 / keep), 0.0)
+        else:
+            dzr = dzd
+        dz1 = jnp.where(z1 > 0.0, dzr, 0.0)               # (B, K) f32
+        db1_ref[0, :] += jnp.sum(dz1, axis=0)
+        dz1c = dz1.astype(h.dtype)
+        # weight grads: contract over the edge-block axis
+        dw1a_ref[:] += jax.lax.dot_general(
+            prod, dz1c, _DN0, preferred_element_type=jnp.float32)
+        dw1b_ref[:] += jax.lax.dot_general(
+            diff, dz1c, _DN0, preferred_element_type=jnp.float32)
+        # input grads: contract over K
+        dnk = (((1,), (1,)), ((), ()))
+        dprod = jax.lax.dot_general(dz1c, w1a, dnk,
+                                    preferred_element_type=jnp.float32)
+        ddiff = jax.lax.dot_general(dz1c, w1b, dnk,
+                                    preferred_element_type=jnp.float32)
+        dhu = (dprod * hv.astype(jnp.float32) + ddiff).astype(h.dtype)
+        dhv = (dprod * hu.astype(jnp.float32) - ddiff).astype(h.dtype)
+        dh_ref[:] += jax.lax.dot(ohs, dhu,
+                                 preferred_element_type=jnp.float32)
+        dh_ref[:] += jax.lax.dot(ohr, dhv,
+                                 preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _pad_inputs(sid, rid, dp=None, block=512):
+    q = sid.shape[0]
+    q_pad = _round_up(q, block)
+    if q_pad != q:
+        sid = jnp.pad(sid, (0, q_pad - q))
+        rid = jnp.pad(rid, (0, q_pad - q))
+        if dp is not None:
+            dp = jnp.pad(dp, (0, q_pad - q))          # zero cotangent
+    nb = q_pad // block
+    sid2 = sid.reshape(nb, 1, block).astype(jnp.int32)
+    rid2 = rid.reshape(nb, 1, block).astype(jnp.int32)
+    dp2 = None if dp is None else dp.reshape(nb, 1, block)
+    return sid2, rid2, dp2, nb
+
+
+def _smem_spec(interpret):
+    space = pl.ANY if interpret else pltpu.SMEM
+    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=space)
+
+
+def _common_specs(block, f, k, interpret):
+    idx = pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0))
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    return idx, full
+
+
+@functools.partial(jax.jit, static_argnames=("block", "drop_rate",
+                                             "interpret"))
+def _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
+              block: int, drop_rate: float, interpret: bool = False):
+    q = sid.shape[0]
+    f = h.shape[1]
+    k = w1a.shape[1]
+    sid2, rid2, _, nb = _pad_inputs(sid, rid, block=block)
+    idx, full = _common_specs(block, f, k, interpret)
+    out = pl.pallas_call(
+        _make_fwd_kernel(block, k, drop_rate),
+        grid=(nb,),
+        in_specs=[_smem_spec(interpret), idx, idx, full(h.shape[0], f),
+                  full(f, k), full(f, k), full(1, k), full(1, k),
+                  full(1, 1)],
+        out_specs=pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+        interpret=interpret,
+    )(seed, sid2, rid2, h, w1a, w1b, b1, w2, b2)
+    return out.reshape(nb * block)[:q]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "drop_rate",
+                                             "interpret"))
+def _bwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
+              block: int, drop_rate: float, interpret: bool = False):
+    f = h.shape[1]
+    k = w1a.shape[1]
+    n_pad = h.shape[0]
+    sid2, rid2, dp2, nb = _pad_inputs(sid, rid, dp.astype(jnp.float32),
+                                      block=block)
+    idx, full = _common_specs(block, f, k, interpret)
+    outs = pl.pallas_call(
+        _make_bwd_kernel(block, k, drop_rate),
+        grid=(nb,),
+        in_specs=[_smem_spec(interpret), idx, idx, idx, full(n_pad, f),
+                  full(f, k), full(f, k), full(1, k), full(1, k),
+                  full(1, 1)],
+        out_specs=[full(n_pad, f), full(f, k), full(f, k), full(1, k),
+                   full(1, k), full(1, 128)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+                   jax.ShapeDtypeStruct((f, k), jnp.float32),
+                   jax.ShapeDtypeStruct((f, k), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32)],
+        interpret=interpret,
+    )(seed, sid2, rid2, dp2, h, w1a, w1b, b1, w2, b2)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _score_sampled(h, w1a, w1b, b1, w2, b2, sid, rid,
+                   block, drop_rate, interpret, seed):
+    return _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
+                     block, drop_rate, interpret)
+
+
+def _score_sampled_fwd(h, w1a, w1b, b1, w2, b2, sid, rid,
+                       block, drop_rate, interpret, seed):
+    out = _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
+                    block, drop_rate, interpret)
+    return out, (h, w1a, w1b, b1, w2, b2, sid, rid, seed)
+
+
+def _score_sampled_bwd(block, drop_rate, interpret, res, dp):
+    h, w1a, w1b, b1, w2, b2, sid, rid, seed = res
+    dh, dw1a, dw1b, db1, dw2, db2 = _bwd_call(
+        h, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
+        block, drop_rate, interpret)
+    return (dh.astype(h.dtype), dw1a.astype(w1a.dtype),
+            dw1b.astype(w1b.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.reshape(w2.shape).astype(w2.dtype),
+            db2[0, :1].reshape(b2.shape).astype(b2.dtype),
+            None, None, None)
+
+
+_score_sampled.defvjp(_score_sampled_fwd, _score_sampled_bwd)
+
+
+def score_head_sampled(h, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+                       senders, receivers, *, drop_rate: float = 0.0,
+                       seed=0, block: int = 512, interpret: bool = False):
+    """Differentiable fused score head over dynamic (unsorted) edge indices.
+
+    ``h`` is (N, F) node embeddings (any float dtype; bf16 on the TPU hot
+    path); fc1_kernel is the (2F, K) concat-layout kernel whose
+    product/difference halves are split in-kernel (no concat is formed);
+    fc2_kernel is (K, 1).  Returns (q,) float32 probabilities ==
+    sigmoid(fc2(drop(relu(fc1([h_u*h_v || h_u-h_v]))))) and differentiates
+    w.r.t. h and all four head parameters (indices/seed get no cotangent).
+    Gate with `use_fused_sampled_head` — the one-hot working set must fit
+    VMEM.
+    """
+    f = h.shape[1]
+    n_pad = _round_up(max(h.shape[0], 8), 8)
+    if n_pad != h.shape[0]:
+        h = jnp.pad(h, ((0, n_pad - h.shape[0]), (0, 0)))
+    w1a = fc1_kernel[:f].astype(h.dtype)
+    w1b = fc1_kernel[f:].astype(h.dtype)
+    b1 = fc1_bias.reshape(1, -1).astype(jnp.float32)
+    w2 = fc2_kernel.reshape(1, -1).astype(jnp.float32)
+    b2 = fc2_bias.reshape(1, 1).astype(jnp.float32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    return _score_sampled(h, w1a, w1b, b1, w2, b2,
+                          senders.astype(jnp.int32),
+                          receivers.astype(jnp.int32),
+                          int(block), float(drop_rate), bool(interpret), seed)
+
+
+def score_head_sampled_reference(h, fc1_kernel, fc1_bias, fc2_kernel,
+                                 fc2_bias, senders, receivers):
+    """Pure-jnp f32 oracle (deterministic) for parity tests."""
+    hu = h[senders].astype(jnp.float32)
+    hv = h[receivers].astype(jnp.float32)
+    f = h.shape[1]
+    z = (hu * hv) @ fc1_kernel[:f].astype(jnp.float32) \
+        + (hu - hv) @ fc1_kernel[f:].astype(jnp.float32) \
+        + fc1_bias.reshape(-1)
+    z = jnp.maximum(z, 0.0)
+    logit = z @ fc2_kernel.reshape(-1).astype(jnp.float32) \
+        + fc2_bias.reshape(-1)[0]
+    return jax.nn.sigmoid(logit)

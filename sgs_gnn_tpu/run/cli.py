@@ -139,6 +139,8 @@ def config_from_args(argv=None) -> Config:
 
 def main(argv=None):
     args, _ = build_parser().parse_known_args(argv)
+    from ..utils.compcache import enable as enable_compcache
+    enable_compcache()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)

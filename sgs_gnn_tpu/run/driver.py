@@ -162,6 +162,24 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
         scatter_s = f"off (N*nhid accumulator {g0.num_nodes}x{cfg.nhid} " \
                     f"exceeds the 6MB VMEM budget)"
     log_fn(f"[fastpath] scatter_mxu_kernel={scatter_s}")
+    # fused sampled-edge score head (ops/score_sampled.py): serves every
+    # score_from call with unsorted indices (receiver_band == 0) — the
+    # hybrid fast path's gradient head and the non-tile sampling pass
+    from ..ops.score_sampled import use_fused_sampled_head
+    if cfg.mode != "learned":
+        fused_s = "off (learned mode only)"
+    elif backend != "tpu":
+        fused_s = f"off (backend={backend})"
+    elif cfg.nhid % 128 != 0:
+        fused_s = f"off (nhid={cfg.nhid} not a multiple of 128: head " \
+                  f"widths must be MXU-aligned)"
+    elif use_fused_sampled_head(g0.num_nodes, cfg.nhid, cfg.nhid):
+        fused_s = f"on (N={g0.num_nodes}: gather+head+scatter fused, " \
+                  f"h VMEM-resident)"
+    else:
+        fused_s = f"off (N={g0.num_nodes} x F={cfg.nhid} one-hot working " \
+                  f"set exceeds the 12MB VMEM budget)"
+    log_fn(f"[fastpath] fused_sampled_head={fused_s}")
 
 
 def _valid_edges(g: Graph) -> int:

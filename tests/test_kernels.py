@@ -318,3 +318,57 @@ def test_hybrid_rescore_trains_with_tile_index(rng):
         losses.append(float(m.loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused sampled-edge score head (ops/score_sampled.py)
+# ---------------------------------------------------------------------------
+
+from sgs_gnn_tpu.ops.score_sampled import (score_head_sampled,
+                                           score_head_sampled_reference)
+
+
+def _head_params(rng, f, k):
+    w1 = jnp.asarray(rng.normal(size=(2 * f, k)).astype(np.float32)) * 0.2
+    b1 = jnp.asarray(rng.normal(size=(k,)).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.normal(size=(k, 1)).astype(np.float32)) * 0.2
+    b2 = jnp.asarray(rng.normal(size=(1,)).astype(np.float32)) * 0.1
+    return w1, b1, w2, b2
+
+
+def test_score_sampled_fwd_matches_oracle(rng):
+    n, f, k, q = 40, 128, 128, 77          # q not a block multiple: padding
+    h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    w1, b1, w2, b2 = _head_params(rng, f, k)
+    s = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+    out = score_head_sampled(h, w1, b1, w2, b2, s, r, block=64,
+                             interpret=True)
+    ref = score_head_sampled_reference(h, w1, b1, w2, b2, s, r)
+    assert out.shape == (q,)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_score_sampled_grad_matches_oracle(rng):
+    n, f, k, q = 24, 128, 128, 90
+    h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    w1, b1, w2, b2 = _head_params(rng, f, k)
+    s = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+    cot = jnp.asarray(rng.normal(size=(q,)).astype(np.float32))
+
+    def loss_kernel(h_, w1_, b1_, w2_, b2_):
+        p = score_head_sampled(h_, w1_, b1_, w2_, b2_, s, r, block=64,
+                               interpret=True)
+        return jnp.sum(jnp.cos(3.0 * p) * cot)
+
+    def loss_ref(h_, w1_, b1_, w2_, b2_):
+        p = score_head_sampled_reference(h_, w1_, b1_, w2_, b2_, s, r)
+        return jnp.sum(jnp.cos(3.0 * p) * cot)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(h, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(h, w1, b1, w2, b2)
+    for a, b, name in zip(gk, gr, ["h", "w1", "b1", "w2", "b2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5, err_msg=name)
