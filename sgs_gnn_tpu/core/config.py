@@ -139,9 +139,13 @@ class Config:
               f"pipeline={self.pipeline!r} not in {PIPELINES}")
         check(self.mode in MODES, f"mode={self.mode!r} not in {MODES}")
         npz = os.path.join(self.data_dir, f"{self.dataset}.npz")
-        check(self.dataset in DATASETS or os.path.exists(npz),
-              f"dataset={self.dataset!r} not in DATASETS and no cache at "
-              f"{npz}")
+        vdir = os.path.join(self.data_dir, self.dataset)
+        check(self.dataset in DATASETS or os.path.exists(npz)
+              or os.path.isdir(vdir),
+              f"dataset={self.dataset!r} not in DATASETS, no cache at "
+              f"{npz}, and no vendored directory at {vdir} (the "
+              f"notebook-only reference datasets — OGB_MAG, Reddit2, "
+              f"RedditSynthetic — load from vendored formats)")
         check(self.dtype in ("float32", "bfloat16"),
               f"dtype={self.dtype!r} must be float32|bfloat16")
         check(self.prng_impl in ("threefry2x32", "rbg"),

@@ -128,6 +128,38 @@ def load_linkx_tensors(dirpath: str):
     return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
 
 
+def load_tensor_dir(dirpath: str):
+    """Generic cached-tensor directory → arrays, with OFFICIAL masks.
+
+    The convention for datasets the reference assembles in notebooks from
+    heterogeneous sources — e.g. OGB_MAG (Dataset.ipynb ``elif DATASET_NAME
+    == "OGB_MAG"``: paper.x with metapath2vec features, the
+    paper-cites-paper edge_index, and the paper split masks wrapped in
+    ``OGB_MAGcustom``): torch-save the homogeneous tensors as
+    ``<data_dir>/<name>/{x.pt, edge_index.pt, y.pt}`` plus optional
+    ``{train,val,test}_mask.pt``.  When masks are absent the registry
+    generates the reference's default split.
+    """
+    import torch
+
+    def ld(fname):
+        t = torch.load(os.path.join(dirpath, fname), map_location="cpu",
+                       weights_only=True)
+        return t.numpy() if isinstance(t, torch.Tensor) else np.asarray(t)
+
+    x = ld("x.pt").astype(np.float32)
+    ei = ld("edge_index.pt").astype(np.int32)
+    y = ld("y.pt").reshape(-1).astype(np.int64)
+    if y.min() < 0:
+        y = y - y.min()
+    masks = {}
+    for mk in ("train_mask", "val_mask", "test_mask"):
+        p = os.path.join(dirpath, f"{mk}.pt")
+        if os.path.exists(p):
+            masks[mk] = ld(f"{mk}.pt").astype(bool)
+    return x, ei, y.astype(np.int32), masks
+
+
 def load_graphsaint_dir(dirpath: str):
     """GraphSAINT raw directory → arrays (RedditTwo.ipynb Reddit2.process:
     CSR adjacency + feats + class_map + role split)."""
@@ -168,6 +200,8 @@ def try_load_vendored(data_dir: str, name: str):
       <data_dir>/<name>/out1_graph_edges.txt      (geom-gcn text)
       <data_dir>/<name>/raw/out1_graph_edges.txt
       <data_dir>/LINKXdataset/<name>/x.pt         (LINKX cached tensors)
+      <data_dir>/<name>/x.pt                      (generic tensor dir with
+                                                  official masks: OGB_MAG)
       <data_dir>/<name>/raw/adj_full.npz          (GraphSAINT/Reddit2)
       <data_dir>/<name>/adj_full.npz
       <data_dir>/<name>/class_map.json + feats.npy + film_edges.csv
@@ -185,6 +219,9 @@ def try_load_vendored(data_dir: str, name: str):
     lx = os.path.join(data_dir, "LINKXdataset", name)
     if os.path.exists(os.path.join(lx, "x.pt")):
         return load_linkx_tensors(lx)
+    td = os.path.join(data_dir, name)
+    if os.path.exists(os.path.join(td, "x.pt")):
+        return load_tensor_dir(td)
     for d in (os.path.join(data_dir, name, "raw"),
               os.path.join(data_dir, name)):
         if os.path.exists(os.path.join(d, "adj_full.npz")):

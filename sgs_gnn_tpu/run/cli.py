@@ -34,7 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.eval)
     p.add_argument('--runs', type=int, default=d.runs)
     p.add_argument('--seed', type=int, default=d.seed)
-    p.add_argument('--dataset', type=str, default=d.dataset, choices=DATASETS)
+    # no argparse `choices`: names outside DATASETS are admitted when a
+    # converted npz or vendored directory exists (the reference's
+    # notebook-only datasets — OGB_MAG, Reddit2 — enter this way);
+    # Config.validate() rejects everything else with the full list
+    p.add_argument('--dataset', type=str, default=d.dataset)
     p.add_argument('--mode', type=str, default=d.mode, choices=MODES)
     p.add_argument('--lr', type=float, default=d.lr)
     p.add_argument('--drop_rate', type=float, default=d.drop_rate)

@@ -434,3 +434,45 @@ def test_reddit_subsample_registry_path(tmp_path):
     # homophily bias (h=0.9): kept fraction must skew homophilic
     he_full, he_sub = full.He, sub.He
     assert he_sub > he_full
+
+
+def test_ogb_mag_tensor_dir_loader(tmp_path):
+    """<data_dir>/OGB_MAG/{x,edge_index,y,*_mask}.pt convention (reference
+    Dataset.ipynb OGB_MAG branch: paper.x / paper-cites-paper edges /
+    official paper split masks wrapped in OGB_MAGcustom)."""
+    import torch
+    from sgs_gnn_tpu.data.vendored import try_load_vendored
+
+    rng = np.random.default_rng(11)
+    n, e, f = 30, 90, 8
+    d = tmp_path / "OGB_MAG"
+    d.mkdir(parents=True)
+    x = rng.random((n, f)).astype(np.float32)
+    ei = rng.integers(0, n, (2, e)).astype(np.int64)
+    y = rng.integers(0, 5, n).astype(np.int64)
+    tr = np.zeros(n, bool); tr[: n // 2] = True
+    va = np.zeros(n, bool); va[n // 2: 3 * n // 4] = True
+    te = ~(tr | va)
+    torch.save(torch.tensor(x), d / "x.pt")
+    torch.save(torch.tensor(ei), d / "edge_index.pt")
+    torch.save(torch.tensor(y), d / "y.pt")
+    torch.save(torch.tensor(tr), d / "train_mask.pt")
+    torch.save(torch.tensor(va), d / "val_mask.pt")
+    torch.save(torch.tensor(te), d / "test_mask.pt")
+
+    out = try_load_vendored(str(tmp_path), "OGB_MAG")
+    assert out is not None
+    x2, ei2, y2, masks = out
+    np.testing.assert_allclose(x2, x, rtol=1e-6)
+    np.testing.assert_array_equal(ei2, ei.astype(np.int32))
+    np.testing.assert_array_equal(y2, y.astype(np.int32))
+    # official masks must ride through verbatim (not regenerated)
+    np.testing.assert_array_equal(masks["train_mask"], tr)
+    np.testing.assert_array_equal(masks["val_mask"], va)
+    np.testing.assert_array_equal(masks["test_mask"], te)
+    # config validation admits the vendored directory for names
+    # outside the CLI's DATASETS list
+    Config(dataset="OGB_MAG", data_dir=str(tmp_path)).validate()
+    ds = get_dataset(Config(dataset="OGB_MAG", data_dir=str(tmp_path)))
+    assert ds.num_nodes == n
+    assert ds.train_mask.sum() == tr.sum()
