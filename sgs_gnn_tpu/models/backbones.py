@@ -46,19 +46,20 @@ class _Backbone(nn.Module):
                                   score_receiver_band)
 
     def encode_scorer(self, x, prop_senders, prop_receivers,
-                      deterministic: bool = True):
+                      deterministic: bool = True, exchange=None,
+                      edge_mask=None):
         """Scorer encoder only -> node embeddings (hybrid fast path)."""
         return self.edge_prob_mlp.encode(x, prop_senders, prop_receivers,
-                                         deterministic)
+                                         deterministic, exchange, edge_mask)
 
     def score_from_embeddings(self, h, senders, receivers,
                               deterministic: bool = True,
                               use_remat: bool = False,
-                              receiver_band: int = 0):
+                              receiver_band: int = 0, exchange=None):
         """Score head only, over precomputed scorer embeddings."""
         return self.edge_prob_mlp.score_from(h, senders, receivers,
                                              deterministic, use_remat,
-                                             receiver_band)
+                                             receiver_band, exchange)
 
     def score_tiles_from_embeddings(self, h, tile_ls, tile_lr, tile_su,
                                     tile_rv, t: int, bk: int,
@@ -79,10 +80,12 @@ class GNNModel(_Backbone):
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
-                 deterministic: bool = True):
-        h = nn.relu(self.gcn1(x, senders, receivers, edge_weight))
+                 deterministic: bool = True, exchange=None, edge_mask=None):
+        h = nn.relu(self.gcn1(x, senders, receivers, edge_weight,
+                              exchange, edge_mask))
         h = self.drop(h, deterministic=deterministic)
-        return self.gcn2(h, senders, receivers, edge_weight)
+        return self.gcn2(h, senders, receivers, edge_weight,
+                         exchange, edge_mask)
 
 
 class GINModel(_Backbone):
@@ -97,10 +100,12 @@ class GINModel(_Backbone):
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
-                 deterministic: bool = True):
-        h = nn.relu(self.GIN_conv1(x, senders, receivers))
+                 deterministic: bool = True, exchange=None, edge_mask=None):
+        h = nn.relu(self.GIN_conv1(x, senders, receivers,
+                                   exchange=exchange, edge_mask=edge_mask))
         h = self.drop(h, deterministic=deterministic)
-        return self.GIN_conv2(h, senders, receivers)
+        return self.GIN_conv2(h, senders, receivers,
+                              exchange=exchange, edge_mask=edge_mask)
 
 
 class GATModel(_Backbone):
@@ -116,10 +121,12 @@ class GATModel(_Backbone):
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
-                 deterministic: bool = True):
-        h = nn.relu(self.GAT_conv1(x, senders, receivers))
+                 deterministic: bool = True, exchange=None, edge_mask=None):
+        h = nn.relu(self.GAT_conv1(x, senders, receivers,
+                                   exchange=exchange, edge_mask=edge_mask))
         h = self.drop(h, deterministic=deterministic)
-        return self.GAT_conv2(h, senders, receivers)
+        return self.GAT_conv2(h, senders, receivers,
+                              exchange=exchange, edge_mask=edge_mask)
 
 
 class ChebModel(_Backbone):
@@ -131,10 +138,12 @@ class ChebModel(_Backbone):
         self.drop = nn.Dropout(self.dropout_prob)
 
     def __call__(self, x, senders, receivers, edge_weight=None,
-                 deterministic: bool = True):
-        h = nn.relu(self.gcn1(x, senders, receivers, edge_weight))
+                 deterministic: bool = True, exchange=None, edge_mask=None):
+        h = nn.relu(self.gcn1(x, senders, receivers, edge_weight,
+                              exchange, edge_mask))
         h = self.drop(h, deterministic=deterministic)
-        return self.gcn2(h, senders, receivers, edge_weight)
+        return self.gcn2(h, senders, receivers, edge_weight,
+                         exchange, edge_mask)
 
 
 def init_params(model: "_Backbone", key, x, senders, receivers):

@@ -7,6 +7,20 @@ aggregation goes through ops.spmm. Edge-weight handling follows PyG:
 GCN/Cheb use weights in normalization, GIN/GAT ignore them (PyG's BasicGNN
 marks GIN/GAT as not supporting edge_weight, so the reference's pass-through
 at model.py:183/205 is a no-op — kept identical here for parity).
+
+Every conv also accepts two SPMD hooks so the halo-exchange path
+(parallel/halo_train.py) applies THESE SAME modules inside shard_map rather
+than re-implementing the math:
+
+  * ``exchange``: optional callable (N_loc, F) -> (N_ext, F) that prepends
+    the local rows and appends received boundary rows (a ppermute ring).
+    When given, sender indices address the EXTENDED table and aggregation
+    uses plain local segment ops (the spmm/dense fast routes assume a
+    single-device edge list).
+  * ``edge_mask``: optional (E,) bool — False slots (halo padding)
+    contribute nothing to aggregation/normalization/attention.
+
+With both left None the layers behave exactly as before.
 """
 from __future__ import annotations
 
@@ -41,13 +55,20 @@ class GCNConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_weight=None):
+    def __call__(self, x, senders, receivers, edge_weight=None,
+                 exchange=None, edge_mask=None):
         n = x.shape[0]
+        if edge_mask is not None:
+            mf = edge_mask.astype(jnp.float32)
+            edge_weight = mf if edge_weight is None \
+                else edge_weight.astype(jnp.float32) * mf
         # D^{-1/2}(A+I)D^{-1/2} is node-separable: fold the two degree
         # factors into per-NODE scalings around an (un)weighted SpMM and add
         # the self-loop diagonal analytically. Equivalent to PyG's per-edge
         # norm array, but touches no (E,)-sized tensors beyond the SpMM
         # itself — the per-edge d^{-1/2} gathers were a measured hot spot.
+        # Degrees are weighted IN-degrees, local even under halo exchange
+        # (each device owns all inbound edges of its nodes).
         if isinstance(senders, DenseEdges):
             # densified subgraph (ops/dense_graph.py): weighted in-degree is
             # a row sum, aggregation a dense matmul on the MXU
@@ -61,7 +82,15 @@ class GCNConv(nn.Module):
                      dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
         xs = x * dis[:, None].astype(x.dtype)
-        if isinstance(senders, DenseEdges):
+        if exchange is not None:
+            # halo: the scaled projections of boundary rows ride the ring;
+            # senders address the extended table, aggregation stays local
+            w = (jnp.ones(senders.shape[0], jnp.float32)
+                 if edge_weight is None
+                 else edge_weight.astype(jnp.float32))
+            msgs = exchange(xs)[senders].astype(jnp.float32) * w[:, None]
+            agg = jax.ops.segment_sum(msgs, receivers, num_segments=n)
+        elif isinstance(senders, DenseEdges):
             agg = senders.adj.astype(x.dtype) @ xs
         else:
             agg = spmm(senders, receivers, edge_weight, xs, n,
@@ -82,9 +111,18 @@ class SAGEConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_weight=None):
+    def __call__(self, x, senders, receivers, edge_weight=None,
+                 exchange=None, edge_mask=None):
         n = x.shape[0]
-        if isinstance(senders, DenseEdges):
+        if exchange is not None or edge_mask is not None:
+            x_src = exchange(x) if exchange is not None else x
+            mf = (jnp.ones(senders.shape[0], jnp.float32)
+                  if edge_mask is None else edge_mask.astype(jnp.float32))
+            msgs = x_src[senders].astype(jnp.float32) * mf[:, None]
+            s = jax.ops.segment_sum(msgs, receivers, num_segments=n)
+            cnt = jax.ops.segment_sum(mf, receivers, num_segments=n)
+            agg = s / jnp.maximum(cnt, 1.0)[:, None]
+        elif isinstance(senders, DenseEdges):
             cnt = jnp.maximum(senders.adj.sum(axis=1, keepdims=True), 1.0)
             agg = (senders.adj.astype(x.dtype) @ x).astype(jnp.float32) / cnt
         else:
@@ -107,7 +145,8 @@ class GATConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_weight=None):
+    def __call__(self, x, senders, receivers, edge_weight=None,
+                 exchange=None, edge_mask=None):
         n = x.shape[0]
         h, f = self.heads, self.features
         xw = nn.Dense(h * f, use_bias=False, name="lin", dtype=self.dtype,
@@ -138,15 +177,27 @@ class GATConv(nn.Module):
             out = jax.vmap(head_out, in_axes=(1, 1, 1), out_axes=1)(
                 alpha_src, alpha_dst, xw)                    # (N, H, F)
         else:
+            # halo: sender-side attention terms and projected rows ride the
+            # ring; the per-destination softmax stays local (every inbound
+            # edge of a node lives on its owner). Self-loop indices are
+            # local rows, valid in both index spaces.
+            if exchange is not None:
+                as_ext = exchange(alpha_src)
+                xw_ext = exchange(xw.reshape(n, h * f)).reshape(-1, h, f)
+            else:
+                as_ext, xw_ext = alpha_src, xw
             # self-loops (PyG GATConv add_self_loops=True)
             loop = jnp.arange(n, dtype=senders.dtype)
             s = jnp.concatenate([senders, loop])
             r = jnp.concatenate([receivers, loop])
-            logits = alpha_src[s] + alpha_dst[r]         # (E', H)
+            logits = as_ext[s] + alpha_dst[r]            # (E', H)
             logits = nn.leaky_relu(logits, self.negative_slope)
+            if edge_mask is not None:
+                m = jnp.concatenate([edge_mask, jnp.ones(n, bool)])
+                logits = jnp.where(m[:, None], logits, -jnp.inf)
             alpha = jax.vmap(lambda lg: segment_softmax(lg, r, n), in_axes=1,
                              out_axes=1)(logits)          # (E', H)
-            msgs = xw[s] * alpha[..., None]               # (E', H, F)
+            msgs = xw_ext[s] * alpha[..., None]           # (E', H, F)
             out = jax.ops.segment_sum(msgs, r, num_segments=n)
         if self.concat:
             out = out.reshape(n, h * f)
@@ -166,9 +217,17 @@ class GINConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_weight=None):
+    def __call__(self, x, senders, receivers, edge_weight=None,
+                 exchange=None, edge_mask=None):
         n = x.shape[0]
-        if isinstance(senders, DenseEdges):
+        if exchange is not None or edge_mask is not None:
+            x_src = exchange(x) if exchange is not None else x
+            msgs = x_src[senders]
+            if edge_mask is not None:
+                msgs = msgs * edge_mask.astype(msgs.dtype)[:, None]
+            agg = jax.ops.segment_sum(msgs.astype(jnp.float32), receivers,
+                                      num_segments=n)
+        elif isinstance(senders, DenseEdges):
             agg = (senders.adj.astype(x.dtype) @ x).astype(jnp.float32)
         else:
             agg = jax.ops.segment_sum(x[senders], receivers, num_segments=n)
@@ -192,12 +251,19 @@ class ChebConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_weight=None):
+    def __call__(self, x, senders, receivers, edge_weight=None,
+                 exchange=None, edge_mask=None):
         n = x.shape[0]
         out = nn.Dense(self.features, use_bias=False, name="lins_0",
                        dtype=self.dtype,
                        kernel_init=nn.initializers.glorot_uniform())(x)
         if self.K > 1:
+            if exchange is not None:
+                # K=1 (the reference's config, model.py:217-219) is
+                # graph-free; the general recurrence under halo is served by
+                # the drop-edges parallel mode instead
+                raise NotImplementedError(
+                    "halo exchange supports ChebConv K=1 only")
             if isinstance(senders, DenseEdges):
                 # D^{-1/2} A D^{-1/2} densely: scale rows+cols by d^{-1/2}
                 deg = senders.adj.sum(axis=1)

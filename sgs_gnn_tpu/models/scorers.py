@@ -129,11 +129,17 @@ class _EdgeScorer(nn.Module):
         raise NotImplementedError
 
     def encode(self, x, prop_senders, prop_receivers,
-               deterministic: bool = True):
+               deterministic: bool = True, exchange=None, edge_mask=None):
         raise NotImplementedError
 
     def score_from(self, h, senders, receivers, deterministic: bool = True,
-                   use_remat: bool = False, receiver_band: int = 0):
+                   use_remat: bool = False, receiver_band: int = 0,
+                   exchange=None):
+        if exchange is not None:
+            # halo (parallel/halo_train.py): boundary sender embeddings ride
+            # the ring; receivers are local rows
+            return self.head(exchange(h)[senders], h[receivers],
+                             deterministic).squeeze(-1)
         from ..ops.score_sampled import (score_head_sampled,
                                          use_fused_sampled_head)
         if receiver_band == 0 and use_fused_sampled_head(
@@ -182,10 +188,11 @@ class EdgeProbMLP(_EdgeScorer):
         self.drop = nn.Dropout(self.dropout_prob)
 
     def encode(self, x, prop_senders, prop_receivers,
-               deterministic: bool = True):
+               deterministic: bool = True, exchange=None, edge_mask=None):
         # project node rows, not gathered edge rows (module docstring);
         # cast before the E-row gathers: the head computes in `dtype`
-        # anyway, and bf16 halves gather HBM traffic at edge scale
+        # anyway, and bf16 halves gather HBM traffic at edge scale.
+        # No propagation, so exchange/edge_mask are inert.
         h = self.drop(nn.relu(self.fcdim(x)), deterministic=deterministic)
         return h.astype(self.dtype)
 
@@ -198,8 +205,9 @@ class EdgeProbSAGE(_EdgeScorer):
         self.drop = nn.Dropout(self.dropout_prob)
 
     def encode(self, x, prop_senders, prop_receivers,
-               deterministic: bool = True):
-        h = self.gcn1(x, prop_senders, prop_receivers)
+               deterministic: bool = True, exchange=None, edge_mask=None):
+        h = self.gcn1(x, prop_senders, prop_receivers,
+                      exchange=exchange, edge_mask=edge_mask)
         h = self.drop(nn.relu(h), deterministic=deterministic)
         return h.astype(self.dtype)
 
@@ -214,10 +222,12 @@ class EdgeProbGCN(_EdgeScorer):
         self.drop = nn.Dropout(self.dropout_prob)
 
     def encode(self, x, prop_senders, prop_receivers,
-               deterministic: bool = True):
-        h = self.gcn1(x, prop_senders, prop_receivers)
+               deterministic: bool = True, exchange=None, edge_mask=None):
+        h = self.gcn1(x, prop_senders, prop_receivers,
+                      exchange=exchange, edge_mask=edge_mask)
         h = self.drop(nn.relu(h), deterministic=deterministic)
-        h = nn.relu(self.gcn2(h, prop_senders, prop_receivers))
+        h = nn.relu(self.gcn2(h, prop_senders, prop_receivers,
+                              exchange=exchange, edge_mask=edge_mask))
         return h.astype(self.dtype)
 
 

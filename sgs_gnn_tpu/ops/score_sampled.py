@@ -55,7 +55,12 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 def use_fused_sampled_head(n: int, f: int, k: int, block: int = 512) -> bool:
     """Engage the fused kernel?  TPU backend, MXU-aligned head widths, and
     the block's working set (two one-hot panels + h + dh + activation
-    buffers) within the VMEM budget."""
+    buffers) within the VMEM budget.  ``SGS_FUSED_HEAD=off|on`` overrides
+    the auto decision (A/B escape hatch; `on` still requires TPU + fit)."""
+    import os
+    override = os.environ.get("SGS_FUSED_HEAD", "auto").lower()
+    if override == "off":
+        return False
     if jax.default_backend() != "tpu":
         return False
     if f % 128 != 0 or k % 128 != 0:
@@ -85,7 +90,7 @@ def _make_fwd_kernel(bk: int, k: int, drop_rate: float):
     keep, thresh = _dropout_consts(drop_rate)
 
     def kernel(seed_ref, sid_ref, rid_ref, h_ref, w1a_ref, w1b_ref, b1_ref,
-               w2_ref, b2_ref, out_ref):
+               w2_ref, b2_ref, out_ref, hu_ref, hv_ref):
         i = pl.program_id(0)
         sid = sid_ref[0, 0, :]                    # (B,) int32
         rid = rid_ref[0, 0, :]
@@ -99,6 +104,10 @@ def _make_fwd_kernel(bk: int, k: int, drop_rate: float):
                                  preferred_element_type=jnp.float32)
         hu = hu.astype(h.dtype)                   # (B, F)
         hv = hv.astype(h.dtype)
+        # residuals: the backward kernel reuses the gathered rows instead of
+        # re-running the two one-hot selects (the A/B-measured recompute tax)
+        hu_ref[0] = hu
+        hv_ref[0] = hv
         z = jax.lax.dot(hu * hv, w1a_ref[:],
                         preferred_element_type=jnp.float32)
         z += jax.lax.dot(hu - hv, w1b_ref[:],
@@ -119,8 +128,8 @@ def _make_fwd_kernel(bk: int, k: int, drop_rate: float):
 def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
     keep, thresh = _dropout_consts(drop_rate)
 
-    def kernel(seed_ref, sid_ref, rid_ref, dp_ref, h_ref, w1a_ref, w1b_ref,
-               b1_ref, w2_ref, b2_ref,
+    def kernel(seed_ref, sid_ref, rid_ref, dp_ref, hu_ref, hv_ref,
+               w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
                dh_ref, dw1a_ref, dw1b_ref, db1_ref, dw2_ref, db2_ref):
         i = pl.program_id(0)
 
@@ -135,16 +144,11 @@ def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
 
         sid = sid_ref[0, 0, :]
         rid = rid_ref[0, 0, :]
-        h = h_ref[:]
-        n = h.shape[0]
-        ohs = _onehot(sid, n, h.dtype)
-        ohr = _onehot(rid, n, h.dtype)
-        hu = jax.lax.dot_general(ohs, h, _DN0,
-                                 preferred_element_type=jnp.float32)
-        hv = jax.lax.dot_general(ohr, h, _DN0,
-                                 preferred_element_type=jnp.float32)
-        hu = hu.astype(h.dtype)
-        hv = hv.astype(h.dtype)
+        n = dh_ref.shape[0]
+        hu = hu_ref[0]                            # (B, F) residuals from fwd
+        hv = hv_ref[0]
+        ohs = _onehot(sid, n, hu.dtype)           # (Np, B): for dh scatters
+        ohr = _onehot(rid, n, hu.dtype)
         prod = hu * hv
         diff = hu - hv
         w1a = w1a_ref[:]
@@ -174,7 +178,7 @@ def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
             dzr = dzd
         dz1 = jnp.where(z1 > 0.0, dzr, 0.0)               # (B, K) f32
         db1_ref[0, :] += jnp.sum(dz1, axis=0)
-        dz1c = dz1.astype(h.dtype)
+        dz1c = dz1.astype(hu.dtype)
         # weight grads: contract over the edge-block axis
         dw1a_ref[:] += jax.lax.dot_general(
             prod, dz1c, _DN0, preferred_element_type=jnp.float32)
@@ -186,8 +190,8 @@ def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
                                     preferred_element_type=jnp.float32)
         ddiff = jax.lax.dot_general(dz1c, w1b, dnk,
                                     preferred_element_type=jnp.float32)
-        dhu = (dprod * hv.astype(jnp.float32) + ddiff).astype(h.dtype)
-        dhv = (dprod * hu.astype(jnp.float32) - ddiff).astype(h.dtype)
+        dhu = (dprod * hv.astype(jnp.float32) + ddiff).astype(hu.dtype)
+        dhv = (dprod * hu.astype(jnp.float32) - ddiff).astype(hu.dtype)
         dh_ref[:] += jax.lax.dot(ohs, dhu,
                                  preferred_element_type=jnp.float32)
         dh_ref[:] += jax.lax.dot(ohr, dhv,
@@ -231,33 +235,38 @@ def _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
     k = w1a.shape[1]
     sid2, rid2, _, nb = _pad_inputs(sid, rid, block=block)
     idx, full = _common_specs(block, f, k, interpret)
-    out = pl.pallas_call(
+    blkf = pl.BlockSpec((1, block, f), lambda i: (i, 0, 0))
+    out, hu, hv = pl.pallas_call(
         _make_fwd_kernel(block, k, drop_rate),
         grid=(nb,),
         in_specs=[_smem_spec(interpret), idx, idx, full(h.shape[0], f),
                   full(f, k), full(f, k), full(1, k), full(1, k),
                   full(1, 1)],
-        out_specs=pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+        out_specs=[pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
+                   blkf, blkf],
+        out_shape=[jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, block, f), h.dtype),
+                   jax.ShapeDtypeStruct((nb, block, f), h.dtype)],
         interpret=interpret,
     )(seed, sid2, rid2, h, w1a, w1b, b1, w2, b2)
-    return out.reshape(nb * block)[:q]
+    return out.reshape(nb * block)[:q], hu, hv
 
 
-@functools.partial(jax.jit, static_argnames=("block", "drop_rate",
+@functools.partial(jax.jit, static_argnames=("n_pad", "block", "drop_rate",
                                              "interpret"))
-def _bwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
-              block: int, drop_rate: float, interpret: bool = False):
-    f = h.shape[1]
+def _bwd_call(hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
+              n_pad: int, block: int, drop_rate: float,
+              interpret: bool = False):
+    f = hu.shape[-1]
     k = w1a.shape[1]
-    n_pad = h.shape[0]
     sid2, rid2, dp2, nb = _pad_inputs(sid, rid, dp.astype(jnp.float32),
                                       block=block)
     idx, full = _common_specs(block, f, k, interpret)
+    blkf = pl.BlockSpec((1, block, f), lambda i: (i, 0, 0))
     outs = pl.pallas_call(
         _make_bwd_kernel(block, k, drop_rate),
         grid=(nb,),
-        in_specs=[_smem_spec(interpret), idx, idx, idx, full(n_pad, f),
+        in_specs=[_smem_spec(interpret), idx, idx, idx, blkf, blkf,
                   full(f, k), full(f, k), full(1, k), full(1, k),
                   full(1, 1)],
         out_specs=[full(n_pad, f), full(f, k), full(f, k), full(1, k),
@@ -269,30 +278,35 @@ def _bwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
                    jax.ShapeDtypeStruct((1, k), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.float32)],
         interpret=interpret,
-    )(seed, sid2, rid2, dp2, h, w1a, w1b, b1, w2, b2)
+    )(seed, sid2, rid2, dp2, hu, hv, w1a, w1b, b1, w2, b2)
     return outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _score_sampled(h, w1a, w1b, b1, w2, b2, sid, rid,
                    block, drop_rate, interpret, seed):
-    return _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
-                     block, drop_rate, interpret)
+    out, _, _ = _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
+                          block, drop_rate, interpret)
+    return out
 
 
 def _score_sampled_fwd(h, w1a, w1b, b1, w2, b2, sid, rid,
                        block, drop_rate, interpret, seed):
-    out = _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
-                    block, drop_rate, interpret)
-    return out, (h, w1a, w1b, b1, w2, b2, sid, rid, seed)
+    out, hu, hv = _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
+                            block, drop_rate, interpret)
+    # zero-size token: carries h's row count + dtype into the bwd rule
+    # (custom_vjp residuals must be arrays)
+    h_tok = jnp.zeros((h.shape[0], 0), h.dtype)
+    return out, (h_tok, hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed)
 
 
 def _score_sampled_bwd(block, drop_rate, interpret, res, dp):
-    h, w1a, w1b, b1, w2, b2, sid, rid, seed = res
+    h_tok, hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed = res
+    n_pad, h_dtype = h_tok.shape[0], h_tok.dtype
     dh, dw1a, dw1b, db1, dw2, db2 = _bwd_call(
-        h, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
-        block, drop_rate, interpret)
-    return (dh.astype(h.dtype), dw1a.astype(w1a.dtype),
+        hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
+        n_pad, block, drop_rate, interpret)
+    return (dh.astype(h_dtype), dw1a.astype(w1a.dtype),
             dw1b.astype(w1b.dtype), db1.reshape(b1.shape).astype(b1.dtype),
             dw2.reshape(w2.shape).astype(w2.dtype),
             db2[0, :1].reshape(b2.shape).astype(b2.dtype),

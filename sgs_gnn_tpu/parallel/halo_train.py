@@ -38,12 +38,14 @@ halo graph). Losses are global means assembled from per-shard sums with
 random forwards (the full-graph analogue of training_hybrid.py:98-141);
 gradients are ``psum``-reduced and one replicated dual-Adam update applies.
 
-Because the model is re-expressed as sharded collectives, the flax modules
-cannot be applied directly; the forward is re-implemented functionally from
-the same parameter pytree (names pinned by the dual-optimizer contract,
-models/backbones.py docstring) and pinned to the module implementations by
-the allclose parity tests. Supported: all four backbones (GCN, GIN, Cheb,
-GAT) with GCN/MLP/GSAGE scorers.
+The model math has a single source of truth: the flax modules themselves.
+Every conv layer (models/layers.py) and the scorer (models/scorers.py)
+accept ``exchange``/``edge_mask`` SPMD hooks, so this module applies the
+SAME modules inside shard_map — the per-layer exchange happens between the
+local projection and the local aggregation inside each layer. The allclose
+parity tests (tests/test_halo.py) certify the sharded application equals
+the single-device one. Supported: all four backbones (GCN, GIN, Cheb, GAT)
+with GCN/MLP/GSAGE scorers.
 """
 from __future__ import annotations
 
@@ -58,6 +60,7 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 from jax import shard_map
 
 from ..core.config import Config
+from ..models import get_model
 from ..sparsify.sampling import (sample_edges, sample_prior_edges,
                                  random_edges, temperature_at)
 from ..train.optim import DualOptimizer
@@ -270,179 +273,59 @@ def make_exchange(send_idx_loc, round_sizes, axis: str, d: int):
     return exchange
 
 
-def _dense(p, x, dtype):
-    y = x.astype(dtype) @ p["kernel"].astype(dtype)
-    if "bias" in p:
-        y = y + p["bias"].astype(dtype)
-    return y
-
-
-def _dropout(key, x, rate: float, deterministic: bool):
-    if deterministic or rate == 0.0:
-        return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
-
-
-def _halo_gcn_conv(lp, x_loc, s_ext, r_loc, w, emask, exchange, dtype):
-    """One GCN layer with halo exchange == GCNConv(models/layers.py:30-74):
-    D^{-1/2}(A+I)D^{-1/2} X W + b with weighted in-degree + self-loop fill 1,
-    projection in `dtype`, f32 aggregation, analytic diagonal term. Degrees
-    are exact: each device owns ALL inbound edges of its nodes."""
-    n_loc = x_loc.shape[0]
-    xw = (x_loc.astype(dtype) @ lp["lin"]["kernel"].astype(dtype))
-    mf = emask.astype(jnp.float32)
-    ww = mf if w is None else w.astype(jnp.float32) * mf
-    deg = jax.ops.segment_sum(ww, r_loc, num_segments=n_loc) + 1.0
-    dis_loc = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-32)), 0.0)
-    # halo exchange: boundary d^{-1/2} scalars + projected boundary rows
-    dis_ext = exchange(dis_loc)
-    xw_ext = exchange(xw)
-    norm = dis_ext[s_ext] * ww * dis_loc[r_loc]
-    msgs = xw_ext[s_ext].astype(jnp.float32) * norm[:, None]
-    out = jax.ops.segment_sum(msgs, r_loc, num_segments=n_loc)
-    out = out + (dis_loc * dis_loc)[:, None] * xw.astype(jnp.float32)
-    return out + lp["bias"].astype(jnp.float32)
-
-
-def _halo_gin_conv(lp, x_loc, s_ext, r_loc, emask, exchange, dtype):
-    """GIN layer (models/layers.py GINConv, eps=0): MLP(x + sum_in x_j);
-    edge weights ignored (PyG parity)."""
-    n_loc = x_loc.shape[0]
-    x_ext = exchange(x_loc)
-    msgs = x_ext[s_ext] * emask.astype(x_loc.dtype)[:, None]
-    agg = jax.ops.segment_sum(msgs.astype(jnp.float32), r_loc,
-                              num_segments=n_loc)
-    z = x_loc.astype(jnp.float32) + agg
-    z = jax.nn.relu(_dense(lp["mlp_lin1"], z, dtype))
-    return _dense(lp["mlp_lin2"], z, dtype).astype(jnp.float32)
-
-
-def _halo_sage_conv(lp, x_loc, s_ext, r_loc, emask, exchange, dtype):
-    """SAGEConv (models/layers.py:77-96): W_l mean_in(x) + W_r x."""
-    n_loc = x_loc.shape[0]
-    x_ext = exchange(x_loc)
-    mf = emask.astype(jnp.float32)
-    msgs = x_ext[s_ext].astype(jnp.float32) * mf[:, None]
-    s = jax.ops.segment_sum(msgs, r_loc, num_segments=n_loc)
-    cnt = jax.ops.segment_sum(mf, r_loc, num_segments=n_loc)
-    agg = s / jnp.maximum(cnt, 1.0)[:, None]
-    out = _dense(lp["lin_l"], agg, dtype) + _dense(lp["lin_r"], x_loc, dtype)
-    return out.astype(jnp.float32)
-
-
-def _halo_gat_conv(lp, x_loc, s_ext, r_loc, emask, exchange, dtype,
-                   concat: bool):
-    """GATConv (models/layers.py GATConv, sparse branch) with halo exchange:
-    per-node attention terms are computed locally, the sender-side terms and
-    projected features ride the ring exchange, and the per-destination
-    segment softmax is local (every inbound edge of a node lives on its
-    owner). Self-loops are appended as local edges (PyG add_self_loops)."""
-    n_loc = x_loc.shape[0]
-    att_src = lp["att_src"]
-    _, h, f = att_src.shape
-    xw = (x_loc.astype(dtype) @ lp["lin"]["kernel"].astype(dtype))
-    xw = xw.astype(jnp.float32).reshape(n_loc, h, f)
-    alpha_src = jnp.sum(xw * att_src, axis=-1)       # (N_loc, H)
-    alpha_dst = jnp.sum(xw * lp["att_dst"], axis=-1)
-    # exchange sender-side quantities; self-loop edges are local slots
-    as_ext = exchange(alpha_src)                     # (N_ext, H)
-    xw_ext = exchange(xw.reshape(n_loc, h * f)).reshape(-1, h, f)
-    loop = jnp.arange(n_loc, dtype=s_ext.dtype)
-    s = jnp.concatenate([s_ext, loop])
-    r = jnp.concatenate([r_loc, loop])
-    m = jnp.concatenate([emask, jnp.ones(n_loc, bool)])
-    logits = as_ext[s] + alpha_dst[r]                # (E'+N_loc, H)
-    logits = jax.nn.leaky_relu(logits, 0.2)
-    logits = jnp.where(m[:, None], logits, -jnp.inf)
-    from ..ops.segment import segment_softmax
-    alpha = jax.vmap(lambda lg: segment_softmax(lg, r, n_loc), in_axes=1,
-                     out_axes=1)(logits)
-    msgs = xw_ext[s] * alpha[..., None]
-    out = jax.ops.segment_sum(msgs, r, num_segments=n_loc)
-    if concat:
-        return out.reshape(n_loc, h * f) + lp["bias"].astype(jnp.float32)
-    return jnp.mean(out, axis=1) + lp["bias"].astype(jnp.float32)
-
-
-def _halo_cheb_conv(lp, x_loc, dtype):
-    """ChebConv K=1 (models/layers.py ChebConv, the reference's
-    configuration, model.py:217-219): reduces to Z = X Theta_0 + b — no
-    propagation, so no exchange. General K is served by the drop-edges
-    parallel mode."""
-    out = x_loc.astype(dtype) @ lp["lins_0"]["kernel"].astype(dtype)
-    return out.astype(jnp.float32) + lp["bias"].astype(jnp.float32)
+def _model_from_params(gnn: str, pr, drop_rate: float, dtype,
+                       edge_mlp_type: str = "MLP"):
+    """Reconstruct the backbone module from a parameter tree's shapes —
+    the compat surface for callers that hold only (params, gnn) like the
+    gradient-parity test; the train/eval steps build from Config."""
+    heads = 1
+    if gnn == "GCN":
+        hid = pr["gcn1"]["lin"]["kernel"].shape[1]
+        ncls = pr["gcn2"]["lin"]["kernel"].shape[1]
+    elif gnn == "GIN":
+        hid = pr["GIN_conv1"]["mlp_lin2"]["kernel"].shape[1]
+        ncls = pr["GIN_conv2"]["mlp_lin2"]["kernel"].shape[1]
+    elif gnn == "GAT":
+        _, heads, hid = pr["GAT_conv1"]["att_src"].shape
+        ncls = pr["GAT_conv2"]["att_src"].shape[2]
+    elif gnn == "Cheb":
+        hid = pr["gcn1"]["lins_0"]["kernel"].shape[1]
+        ncls = pr["gcn2"]["lins_0"]["kernel"].shape[1]
+    else:
+        raise NotImplementedError(gnn)
+    return get_model(gnn, 0, int(hid), int(ncls), drop_rate, edge_mlp_type,
+                     heads=int(heads), dtype=dtype)
 
 
 def halo_gnn_forward(pr, gnn, hb_loc, s_ext, r_loc, w, emask, exchange,
                      dtype, drop_rate, key=None):
-    """Backbone forward (models/backbones.py GNNModel/GINModel/ChebModel)
-    on the local shard with halo exchange per layer."""
+    """Backbone forward on the local shard with halo exchange per layer —
+    applies the REAL flax modules (models/backbones.py) through their SPMD
+    hooks (models/layers.py ``exchange``/``edge_mask``); no re-implemented
+    math."""
+    model = _model_from_params(gnn, pr, drop_rate, dtype)
     det = key is None
-    k = jax.random.PRNGKey(0) if det else key
-    if gnn == "GCN":
-        h = jax.nn.relu(_halo_gcn_conv(pr["gcn1"], hb_loc, s_ext, r_loc, w,
-                                       emask, exchange, dtype))
-        h = _dropout(k, h, drop_rate, det)
-        return _halo_gcn_conv(pr["gcn2"], h, s_ext, r_loc, w, emask,
-                              exchange, dtype)
-    if gnn == "GIN":
-        h = jax.nn.relu(_halo_gin_conv(pr["GIN_conv1"], hb_loc, s_ext, r_loc,
-                                       emask, exchange, dtype))
-        h = _dropout(k, h, drop_rate, det)
-        return _halo_gin_conv(pr["GIN_conv2"], h, s_ext, r_loc, emask,
-                              exchange, dtype)
-    if gnn == "Cheb":
-        h = jax.nn.relu(_halo_cheb_conv(pr["gcn1"], hb_loc, dtype))
-        h = _dropout(k, h, drop_rate, det)
-        return _halo_cheb_conv(pr["gcn2"], h, dtype)
-    if gnn == "GAT":
-        h = jax.nn.relu(_halo_gat_conv(pr["GAT_conv1"], hb_loc, s_ext,
-                                       r_loc, emask, exchange, dtype,
-                                       concat=True))
-        h = _dropout(k, h, drop_rate, det)
-        return _halo_gat_conv(pr["GAT_conv2"], h, s_ext, r_loc, emask,
-                              exchange, dtype, concat=False)
-    raise NotImplementedError(gnn)
+    rngs = None if det else {"dropout": key}
+    return model.apply({"params": pr}, hb_loc, s_ext, r_loc, w, det,
+                       exchange, emask, rngs=rngs)
 
 
-def halo_scorer_encode(sp, x_loc, s_ext, r_loc, emask, exchange, dtype,
-                       edge_mlp_type, drop_rate, key=None):
+def halo_scorer_encode(model, params, x_loc, s_ext, r_loc, emask, exchange,
+                       key=None):
     """Scorer encoder (models/scorers.py encode) on the local shard."""
     det = key is None
-    k1, k2 = jax.random.split(key) if not det else (None, None)
-    if edge_mlp_type == "GCN":
-        h = _halo_gcn_conv(sp["gcn1"], x_loc, s_ext, r_loc, None, emask,
-                           exchange, dtype)
-        h = _dropout(k1, jax.nn.relu(h), drop_rate, det)
-        h = jax.nn.relu(_halo_gcn_conv(sp["gcn2"], h, s_ext, r_loc, None,
-                                       emask, exchange, dtype))
-    elif edge_mlp_type == "MLP":
-        h = jax.nn.relu(_dense(sp["fcdim"], x_loc, dtype))
-        h = _dropout(k1, h, drop_rate, det)
-    elif edge_mlp_type == "GSAGE":
-        h = _halo_sage_conv(sp["gcn1"], x_loc, s_ext, r_loc, emask, exchange,
-                            dtype)
-        h = _dropout(k1, jax.nn.relu(h), drop_rate, det)
-    else:
-        raise NotImplementedError(edge_mlp_type)
-    return h.astype(dtype)
+    rngs = None if det else {"dropout": key}
+    return model.apply(params, x_loc, s_ext, r_loc, det, exchange, emask,
+                       method="encode_scorer", rngs=rngs)
 
 
-def halo_score_head(sp, h_loc, s_ext, r_loc, exchange, dtype, drop_rate,
-                    key=None):
+def halo_score_head(model, params, h_loc, s_ext, r_loc, exchange, key=None):
     """Score head (models/scorers._ScoreHead) over local inbound edges;
     boundary sender embeddings arrive via the ring exchange of h."""
     det = key is None
-    h_ext = exchange(h_loc)
-    hu = h_ext[s_ext].astype(dtype)
-    hv = h_loc[r_loc].astype(dtype)
-    feats = jnp.concatenate([hu * hv, hu - hv], axis=-1)
-    z = jax.nn.relu(_dense(sp["head"]["fc1"], feats, dtype))
-    z = _dropout(key if not det else jax.random.PRNGKey(0), z, drop_rate,
-                 det)
-    logit = _dense(sp["head"]["fc2"], z, dtype)
-    return jax.nn.sigmoid(logit.astype(jnp.float32)).squeeze(-1)
+    rngs = None if det else {"dropout": key}
+    return model.apply(params, h_loc, s_ext, r_loc, det, False, 0, exchange,
+                       method="score_from_embeddings", rngs=rngs)
 
 
 # ---------------------------------------------------------------------------
@@ -523,7 +406,6 @@ def make_halo_train_step(cfg: Config, opt: DualOptimizer, max_epoch: int,
     d = mesh.devices.size
 
     def local_loss(p, hb: HaloBatch, key):
-        pr = p["params"]
         x = hb.x[0]
         s_ext = hb.senders_ext[0]
         r_loc = hb.receivers_loc[0]
@@ -541,24 +423,24 @@ def make_halo_train_step(cfg: Config, opt: DualOptimizer, max_epoch: int,
         t_ext = exchange(tmask)
 
         if mode == "learned":
-            spr = pr["edge_prob_mlp"]
-            h = halo_scorer_encode(spr, x, s_ext, r_loc, emask, exchange,
-                                   dtype, cfg.edge_mlp_type, cfg.drop_rate,
-                                   key=k_s1)
+            model = get_model(cfg.GNN, x.shape[-1], cfg.nhid, hb.num_classes,
+                              cfg.drop_rate, cfg.edge_mlp_type, dtype=dtype)
+            h = halo_scorer_encode(model, p, x, s_ext, r_loc, emask,
+                                   exchange, key=k_s1)
             ones_mask = jnp.ones(q_loc, bool)
             if pipeline == "hybrid" and cfg.hybrid_rescore:
                 probs_sample = jax.lax.stop_gradient(halo_score_head(
-                    spr, jax.lax.stop_gradient(h), s_ext, r_loc, exchange,
-                    dtype, cfg.drop_rate, key=k_s1))
+                    model, p, jax.lax.stop_gradient(h), s_ext, r_loc,
+                    exchange, key=k_s1))
                 idx, _ = sample_edges(k_sample, probs_sample, prob, q_loc,
                                       cfg.degree_bias_coef, edge_mask=emask,
                                       approx=cfg.approx_topk)
                 s_s, s_r = s_ext[idx], r_loc[idx]
-                weights = halo_score_head(spr, h, s_s, s_r, exchange, dtype,
-                                          cfg.drop_rate, key=k_s2)
+                weights = halo_score_head(model, p, h, s_s, s_r, exchange,
+                                          key=k_s2)
             elif pipeline == "hybrid":
-                probs_full = halo_score_head(spr, h, s_ext, r_loc, exchange,
-                                             dtype, cfg.drop_rate, key=k_s1)
+                probs_full = halo_score_head(model, p, h, s_ext, r_loc,
+                                             exchange, key=k_s1)
                 idx, _ = sample_edges(
                     k_sample, jax.lax.stop_gradient(probs_full), prob, q_loc,
                     cfg.degree_bias_coef, edge_mask=emask,
@@ -566,31 +448,30 @@ def make_halo_train_step(cfg: Config, opt: DualOptimizer, max_epoch: int,
                 s_s, s_r = s_ext[idx], r_loc[idx]
                 weights = probs_full[idx]
             elif pipeline == "straight_through":
-                probs_full = halo_score_head(spr, h, s_ext, r_loc, exchange,
-                                             dtype, cfg.drop_rate, key=k_s1)
+                probs_full = halo_score_head(model, p, h, s_ext, r_loc,
+                                             exchange, key=k_s1)
                 idx, weights = sample_edges(
                     k_sample, probs_full, prob, q_loc, cfg.degree_bias_coef,
                     edge_mask=emask, approx=cfg.approx_topk)
                 s_s, s_r = s_ext[idx], r_loc[idx]
             elif pipeline == "two_pass":
                 probs_sample = jax.lax.stop_gradient(halo_score_head(
-                    spr, jax.lax.stop_gradient(h), s_ext, r_loc, exchange,
-                    dtype, cfg.drop_rate, key=k_s1))
+                    model, p, jax.lax.stop_gradient(h), s_ext, r_loc,
+                    exchange, key=k_s1))
                 idx, _ = sample_edges(k_sample, probs_sample, prob, q_loc,
                                       cfg.degree_bias_coef, edge_mask=emask,
                                       approx=cfg.approx_topk)
                 s_s, s_r = s_ext[idx], r_loc[idx]
                 # grad pass: the encoder re-propagates on the SAMPLED
                 # subgraph (training_two_pass.py:75-77)
-                h2 = halo_scorer_encode(spr, x, s_s, s_r, ones_mask,
-                                        exchange, dtype, cfg.edge_mlp_type,
-                                        cfg.drop_rate, key=k_s2)
-                weights = halo_score_head(spr, h2, s_s, s_r, exchange, dtype,
-                                          cfg.drop_rate, key=k_s2)
+                h2 = halo_scorer_encode(model, p, x, s_s, s_r, ones_mask,
+                                        exchange, key=k_s2)
+                weights = halo_score_head(model, p, h2, s_s, s_r, exchange,
+                                          key=k_s2)
             else:
                 raise ValueError(pipeline)
-            out = halo_gnn_forward(pr, gnn, x, s_s, s_r, weights, ones_mask,
-                                   exchange, dtype, cfg.drop_rate, key=k_g1)
+            out = model.apply(p, x, s_s, s_r, weights, False, exchange,
+                              ones_mask, rngs={"dropout": k_g1})
             loss = _global_masked_ce(out, y, tmask, axis)
             if cfg.reg1:
                 loss = loss + cfg.regularizer1_coef * _global_assortative_bce(
@@ -604,10 +485,9 @@ def make_halo_train_step(cfg: Config, opt: DualOptimizer, max_epoch: int,
             if cfg.conditional:
                 r_idx = sample_prior_edges(k_rand, prob, q_loc, emask,
                                            approx=cfg.approx_topk)
-                rand_out = halo_gnn_forward(
-                    pr, gnn, x, s_ext[r_idx], r_loc[r_idx], None,
-                    jnp.ones(q_loc, bool), exchange, dtype, cfg.drop_rate,
-                    key=k_g2)
+                rand_out = model.apply(
+                    p, x, s_ext[r_idx], r_loc[r_idx], None, False, exchange,
+                    jnp.ones(q_loc, bool), rngs={"dropout": k_g2})
                 lf1 = _global_micro_f1(out, y, tmask, axis)
                 rf1 = _global_micro_f1(rand_out, y, tmask, axis)
                 gate = jax.lax.stop_gradient(lf1 > rf1)
@@ -632,8 +512,10 @@ def make_halo_train_step(cfg: Config, opt: DualOptimizer, max_epoch: int,
             s_s, s_r, msk = s_ext[idx], r_loc[idx], jnp.ones(q_loc, bool)
         else:
             raise ValueError(mode)
-        out = halo_gnn_forward(pr, gnn, x, s_s, s_r, None, msk, exchange,
-                               dtype, cfg.drop_rate, key=k_g1)
+        model = get_model(cfg.GNN, x.shape[-1], cfg.nhid, hb.num_classes,
+                          cfg.drop_rate, cfg.edge_mlp_type, dtype=dtype)
+        out = model.apply(p, x, s_s, s_r, None, False, exchange, msk,
+                          rngs={"dropout": k_g1})
         loss = _global_masked_ce(out, y, tmask, axis)
         return loss, (jnp.asarray(False), jnp.zeros(()), jnp.zeros(()))
 
@@ -698,7 +580,6 @@ def make_halo_eval_step(cfg: Config, mesh: Mesh, axis: str = "data"):
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P(), P()),
              out_specs=P(), check_vma=False)
     def eval_step(params, hb, key, temperature):
-        pr = params["params"]
         x = hb.x[0]
         s_ext = hb.senders_ext[0]
         r_loc = hb.receivers_loc[0]
@@ -708,20 +589,20 @@ def make_halo_eval_step(cfg: Config, mesh: Mesh, axis: str = "data"):
         me = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, me)
 
+        model = get_model(gnn, x.shape[-1], cfg.nhid, hb.num_classes,
+                          cfg.drop_rate, cfg.edge_mlp_type, dtype=dtype)
+
         def forward(s, r, w, msk):
-            return halo_gnn_forward(pr, gnn, x, s, r, w, msk, exchange,
-                                    dtype, cfg.drop_rate, key=None)
+            return model.apply(params, x, s, r, w, True, exchange, msk)
 
         if mode == "full":
             logits = forward(s_ext, r_loc, None, emask)
         else:
             if mode == "learned":
-                h = halo_scorer_encode(pr["edge_prob_mlp"], x, s_ext,
-                                       r_loc, emask, exchange, dtype,
-                                       cfg.edge_mlp_type, cfg.drop_rate)
-                probs = halo_score_head(pr["edge_prob_mlp"], h, s_ext,
-                                        r_loc, exchange, dtype,
-                                        cfg.drop_rate)
+                h = halo_scorer_encode(model, params, x, s_ext, r_loc,
+                                       emask, exchange)
+                probs = halo_score_head(model, params, h, s_ext, r_loc,
+                                        exchange)
 
             def draw(k):
                 if mode == "learned":
