@@ -2,6 +2,8 @@
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
+from sgs_gnn_tpu.utils.compcache import enable as _cc
+_cc()
 import jax
 import jax.numpy as jnp
 from bench import build_partition
@@ -50,6 +52,10 @@ def main():
         step_time("  - reg2 off only", Config(**{**base, "reg2": False}), g)
         step_time("  - reg1 off only", Config(**{**base, "reg1": False}), g)
     if which in ("b", "all"):
+        os.environ["SGS_FUSED_HEAD"] = "off"
+        step_time("  - fused sampled head off (XLA gather head)",
+                  Config(**base), g)
+        os.environ["SGS_FUSED_HEAD"] = "auto"
         step_time("  - dense_subgraph off", Config(**{**base,
                   "dense_subgraph": "off"}), g)
         step_time("  - tile index off", Config(**base), g_notile)
