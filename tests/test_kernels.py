@@ -372,3 +372,16 @@ def test_score_sampled_grad_matches_oracle(rng):
     for a, b, name in zip(gk, gr, ["h", "w1", "b1", "w2", "b2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5, err_msg=name)
+
+
+def test_use_fused_sampled_head_gate(monkeypatch):
+    """Gate: TPU-only, MXU-aligned widths, VMEM budget, env override."""
+    from sgs_gnn_tpu.ops import score_sampled as ss
+    assert not ss.use_fused_sampled_head(2048, 256, 256)  # CPU backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert ss.use_fused_sampled_head(2048, 256, 256)
+    assert not ss.use_fused_sampled_head(2048, 100, 256)   # F not 128-mult
+    assert not ss.use_fused_sampled_head(2048, 256, 200)   # K not 128-mult
+    assert not ss.use_fused_sampled_head(50_000, 256, 256)  # VMEM blown
+    monkeypatch.setenv("SGS_FUSED_HEAD", "off")
+    assert not ss.use_fused_sampled_head(2048, 256, 256)
