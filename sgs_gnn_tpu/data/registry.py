@@ -24,8 +24,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-import sys
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -13,7 +13,6 @@ Host-side numpy ports of the reference's de-facto test fixtures:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import numpy as np
 

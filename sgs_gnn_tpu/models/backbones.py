@@ -10,7 +10,7 @@ dual-optimizer scheme partitions parameters by name substring
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -24,7 +24,7 @@ With both left None the layers behave exactly as before.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ per partition (built once on host), so the whole step jits cleanly.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

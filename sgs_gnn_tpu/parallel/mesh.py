@@ -8,7 +8,7 @@ ICI via psum inside shard_map.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

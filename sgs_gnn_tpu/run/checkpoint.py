@@ -12,10 +12,8 @@ from __future__ import annotations
 import os
 import pickle
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
-import jax
-import numpy as np
 from flax import serialization
 
 

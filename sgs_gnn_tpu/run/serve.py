@@ -16,8 +16,7 @@ Both are jitted, static-shape, and take an explicit PRNG key.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

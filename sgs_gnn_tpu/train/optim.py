@@ -28,7 +28,6 @@ optimizer selection (SURVEY.md section 7 "Conditional gate under jit").
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

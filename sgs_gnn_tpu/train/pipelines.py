@@ -24,8 +24,7 @@ where-masked state updates (see train/optim.py). Decisions that are static
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +36,7 @@ from ..sparsify.sampling import (sample_edges, sample_prior_edges,
                                  random_edges, temperature_at)
 from .losses import (masked_cross_entropy, micro_f1, assortative_bce,
                      assortative_bce_flags, consistency_loss)
-from .optim import DualOptimizer, DualOptState
+from .optim import DualOptimizer
 
 
 class StepMetrics(NamedTuple):

@@ -18,7 +18,6 @@ from typing import Any, Callable
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def validate_graph(g, name: str = "graph") -> None:

@@ -11,7 +11,6 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def extract_embeddings(model, params, graph, layer: str = "hidden"):
