@@ -20,6 +20,10 @@ run_cfg () {  # $1 = log path, rest = args
     echo "skip $(basename "$log") (complete)"; return
   fi
   timeout 3000 python -u -m sgs_gnn_tpu.run.cli "$@" 2>&1 | tee "$log"
+  # brief gap so the tunnel claim is fully released before the next
+  # process dials in (observed: a claim request racing the previous
+  # release can be dropped, leaving the new process futex-blocked forever)
+  sleep 15
 }
 
 for dataset in "${DATASETS[@]}"; do
