@@ -139,13 +139,18 @@ class Config:
               f"pipeline={self.pipeline!r} not in {PIPELINES}")
         check(self.mode in MODES, f"mode={self.mode!r} not in {MODES}")
         npz = os.path.join(self.data_dir, f"{self.dataset}.npz")
-        vdir = os.path.join(self.data_dir, self.dataset)
-        check(self.dataset in DATASETS or os.path.exists(npz)
-              or os.path.isdir(vdir),
-              f"dataset={self.dataset!r} not in DATASETS, no cache at "
-              f"{npz}, and no vendored directory at {vdir} (the "
-              f"notebook-only reference datasets — OGB_MAG, Reddit2, "
-              f"RedditSynthetic — load from vendored formats)")
+        if self.dataset not in DATASETS and not os.path.exists(npz):
+            # probe for an actual loadable vendored format, not a bare
+            # directory: a dir with no marker file would fail much later
+            # with a less actionable error (data/vendored.py has_vendored)
+            from ..data.vendored import has_vendored
+            check(has_vendored(self.data_dir, self.dataset),
+                  f"dataset={self.dataset!r} not in DATASETS, no cache at "
+                  f"{npz}, and no vendored marker file (x.pt, adj_full.npz, "
+                  f"out1_graph_edges.txt, <name>.mat, class_map.json) under "
+                  f"{os.path.join(self.data_dir, self.dataset)} (the "
+                  f"notebook-only reference datasets — OGB_MAG, Reddit2, "
+                  f"RedditSynthetic — load from vendored formats)")
         check(self.dtype in ("float32", "bfloat16"),
               f"dtype={self.dtype!r} must be float32|bfloat16")
         check(self.prng_impl in ("threefry2x32", "rbg"),

@@ -191,6 +191,26 @@ def load_graphsaint_dir(dirpath: str):
 GEOM_GCN_SPARSE = {"film", "actor"}
 
 
+def has_vendored(data_dir: str, name: str) -> bool:
+    """Cheap probe: does any vendored-format marker file exist for ``name``?
+    Mirrors ``try_load_vendored``'s resolution order without loading, so
+    config validation can reject a directory with no loadable format at
+    config time instead of deep in dataset load (ADVICE r3)."""
+    lname = name.lower()
+    candidates = (
+        os.path.join(data_dir, f"{name}.mat"),
+        os.path.join(data_dir, name, "raw", f"{lname}.mat"),
+        os.path.join(data_dir, name, "out1_graph_edges.txt"),
+        os.path.join(data_dir, name, "raw", "out1_graph_edges.txt"),
+        os.path.join(data_dir, "LINKXdataset", name, "x.pt"),
+        os.path.join(data_dir, name, "x.pt"),
+        os.path.join(data_dir, name, "raw", "adj_full.npz"),
+        os.path.join(data_dir, name, "adj_full.npz"),
+        os.path.join(data_dir, name, "class_map.json"),
+    )
+    return any(os.path.exists(c) for c in candidates)
+
+
 def try_load_vendored(data_dir: str, name: str):
     """Resolve ``name`` against the vendored on-disk conventions, or None.
 

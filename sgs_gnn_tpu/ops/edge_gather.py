@@ -23,15 +23,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
-
-
-def _use_pallas_scatter(num_rows: int, feat: int) -> bool:
-    if jax.default_backend() != "tpu":
-        return False
-    return num_rows * feat * 4 <= _VMEM_BUDGET_BYTES
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _gather_rows(num_rows, sorted_band, table, idx):
     return table[idx]
@@ -44,7 +35,20 @@ def _gather_fwd(num_rows, sorted_band, table, idx):
 def _gather_bwd(num_rows, sorted_band, idx, g):
     feat = g.shape[-1]
     orig_dtype = g.dtype
-    if _use_pallas_scatter(num_rows, feat):
+    from ..core.fastpath import pallas_enabled
+    block = None
+    if jax.default_backend() == "tpu" and pallas_enabled():
+        # VMEM fit is decided by the kernels' true working-set model
+        # (scatter_pallas.scatter_block_for), not just the accumulator; a
+        # band computed at block=1024 stays a valid bound for the smaller
+        # nested blocks, so shrinking block never drops contributions.
+        from .scatter_pallas import (scatter_block_for,
+                                     sorted_scatter_block_for)
+        if sorted_band > 0:
+            block = sorted_scatter_block_for(num_rows, feat, sorted_band)
+        else:
+            block = scatter_block_for(num_rows, feat, itemsize=2)
+    if block is not None:
         # Truncate f32 cotangents to bf16 before the kernel: the MXU dot
         # would truncate its operands to bf16 at DEFAULT precision anyway
         # (accumulation stays f32), and bf16 vals halve the HBM traffic and
@@ -54,10 +58,10 @@ def _gather_bwd(num_rows, sorted_band, idx, g):
         if sorted_band > 0:
             from .scatter_pallas import scatter_add_sorted_pallas
             dt = scatter_add_sorted_pallas(g, idx, num_rows,
-                                           band=sorted_band)
+                                           band=sorted_band, block=block)
         else:
             from .scatter_pallas import scatter_add_pallas
-            dt = scatter_add_pallas(g, idx, num_rows)
+            dt = scatter_add_pallas(g, idx, num_rows, block=block)
     else:
         sorted_hint = sorted_band > 0
         dt = jax.ops.segment_sum(g.astype(jnp.float32), idx,

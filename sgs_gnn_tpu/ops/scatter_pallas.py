@@ -33,6 +33,66 @@ def _round_up(x, m):
 
 
 # ---------------------------------------------------------------------------
+# VMEM working-set model — the single source of truth for "does the one-hot
+# kernel fit?". The scoped-vmem limit on v5e is 16 MB; the kernel's true
+# working set is NOT just the f32 accumulator (the round-3 gate's mistake,
+# which shipped a compile-time OOM at N=6128/F=256/block=1024 — see
+# logs/quality_SyntheticLarge_hybrid_tpu.log): it also holds the
+# (N_pad, block) one-hot panel built per block, the input block, and the
+# ids block. We budget 12 MB (the measured allocator overhead is ~-7% vs
+# this model, so 12 MB modeled keeps real usage ~< 13 MB) and auto-shrink
+# the block 1024 -> 512 -> 256 before falling off to XLA.
+# ---------------------------------------------------------------------------
+
+_SCATTER_VMEM_BUDGET = 12 * 1024 * 1024
+_SCATTER_BLOCKS = (1024, 512, 256)
+
+
+def scatter_vmem_bytes(num_segments: int, feat: int, itemsize: int,
+                       block: int) -> int:
+    """Modeled scoped-VMEM working set of ``scatter_add_pallas`` for one
+    grid step: one-hot panel + f32 accumulator + input vals block + ids."""
+    n_pad = _round_up(max(num_segments, 8), 8)
+    onehot = n_pad * block * itemsize
+    acc = n_pad * feat * 4
+    vals_blk = block * feat * itemsize
+    ids_blk = block * 4
+    return onehot + acc + vals_blk + ids_blk
+
+
+def scatter_block_for(num_segments: int, feat: int, itemsize: int = 2):
+    """Largest block in {1024, 512, 256} whose modeled working set fits the
+    VMEM budget, or None when even block=256 does not fit (caller must fall
+    back to XLA's serialized scatter)."""
+    for block in _SCATTER_BLOCKS:
+        if scatter_vmem_bytes(num_segments, feat, itemsize,
+                              block) <= _SCATTER_VMEM_BUDGET:
+            return block
+    return None
+
+
+def sorted_scatter_vmem_bytes(band: int, feat: int, itemsize: int,
+                              block: int, num_segments: int) -> int:
+    """Working set of ``scatter_add_sorted_pallas``: banded one-hot +
+    full f32 accumulator (+ band slack rows) + input block."""
+    n_pad = _round_up(max(num_segments, 8), 8) + _round_up(max(band, 8), 8)
+    onehot = band * block * itemsize
+    acc = n_pad * feat * 4
+    vals_blk = block * feat * itemsize
+    return onehot + acc + vals_blk + block * 4
+
+
+def sorted_scatter_block_for(num_segments: int, feat: int, band: int,
+                             itemsize: int = 2):
+    """Block choice for the banded kernel under the same budget."""
+    for block in _SCATTER_BLOCKS:
+        if sorted_scatter_vmem_bytes(band, feat, itemsize, block,
+                                     num_segments) <= _SCATTER_VMEM_BUDGET:
+            return block
+    return None
+
+
+# ---------------------------------------------------------------------------
 # Sorted narrow-band kernel
 #
 # When ids are sorted, a block of B consecutive items touches a *contiguous*
@@ -247,18 +307,20 @@ def _segment_sum_scalar_pallas(w, ids, num_segments: int, block: int = 1024,
     return out[:num_segments, 0]
 
 
-_SCALAR_VMEM_BUDGET = 6 * 1024 * 1024
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _segment_sum_scalar(num_segments, w, ids):
     return _segment_sum_scalar_impl(num_segments, w, ids)
 
 
 def _segment_sum_scalar_impl(num_segments, w, ids):
-    if (jax.default_backend() == "tpu"
-            and num_segments * 128 * 4 <= _SCALAR_VMEM_BUDGET):
-        return _segment_sum_scalar_pallas(w, ids, num_segments)
+    # same working-set model as the row kernel: the bf16 one-hot panel
+    # (n_pad x block) dominates at large N, the f32 out is (n_pad x 128),
+    # and the in-kernel ones matrix matches the vals-block term
+    from ..core.fastpath import pallas_enabled
+    block = scatter_block_for(num_segments, 128, itemsize=2)
+    if (jax.default_backend() == "tpu" and block is not None
+            and pallas_enabled()):
+        return _segment_sum_scalar_pallas(w, ids, num_segments, block=block)
     return jax.ops.segment_sum(w.astype(jnp.float32), ids,
                                num_segments=num_segments)
 

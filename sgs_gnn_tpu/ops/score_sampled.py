@@ -21,7 +21,10 @@ dropout mask is regenerated from the same per-block PRNG seed — remat by
 construction, so `--hybrid_checkpoint` is subsumed), and accumulates
   dh   += OHs @ dhu + OHr @ dhv        (VMEM accumulator, one HBM write)
   dW1a += (hu*hv)^T dz   dW1b += (hu-hv)^T dz   db1, dw2, db2
-across the sequential grid.  No HBM intermediates exist in either pass.
+across the sequential grid.  The (q, F) hu/hv gathered rows DO round-trip
+HBM as residuals by design (the backward reuses them instead of re-running
+the two one-hot selects — an A/B-measured recompute-vs-traffic win); all
+other intermediates (z, activations, one-hot panels) stay in VMEM.
 
 FLOP cost stays N*F*2 per edge per one-hot op (4 per edge over fwd+bwd) —
 the standing one-hot tax for dynamic indices (PERF.md: Mosaic cannot
@@ -49,17 +52,23 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def use_fused_sampled_head(n: int, f: int, k: int, block: int = 512) -> bool:
     """Engage the fused kernel?  TPU backend, MXU-aligned head widths, and
-    the block's working set (two one-hot panels + h + dh + activation
-    buffers) within the VMEM budget.  ``SGS_FUSED_HEAD=off|on`` overrides
-    the auto decision (A/B escape hatch; `on` still requires TPU + fit)."""
+    the BACKWARD pass's working set — the peak of the two — within the VMEM
+    budget: two one-hot panels, the h table + f32 dh accumulator, the
+    activation buffers, plus the dW1a/dW1b f32 accumulators and the
+    hu/hv-residual and dp blocks the backward keeps resident.  The 14MB
+    budget leaves ~2MB of the 16MB scoped-vmem limit as headroom (the
+    bench config N=2048/F=K=256 models at 13.6MB and compiles/runs on v5e).
+    ``SGS_FUSED_HEAD=off|on`` overrides the auto decision (A/B escape
+    hatch; `on` still requires TPU + fit)."""
     import os
+    from ..core.fastpath import pallas_enabled
     override = os.environ.get("SGS_FUSED_HEAD", "auto").lower()
-    if override == "off":
+    if override == "off" or not pallas_enabled():
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -69,7 +78,11 @@ def use_fused_sampled_head(n: int, f: int, k: int, block: int = 512) -> bool:
     onehots = 2 * n_pad * block * 2
     tables = n_pad * f * (2 + 4)          # h (bf16) + dh accumulator (f32)
     buffers = 8 * block * max(f, k) * 4
-    return onehots + tables + buffers <= _VMEM_BUDGET
+    weights = 2 * f * k * 2 + 2 * k * 4 + f * 4   # W1a/W1b bf16 + b1/w2/b2
+    bwd_acc = 2 * f * k * 4                       # dW1a/dW1b f32
+    bwd_blocks = 3 * block * max(f, k) * 4        # hu, hv residuals + dp
+    return (onehots + tables + buffers + weights + bwd_acc
+            + bwd_blocks <= _VMEM_BUDGET)
 
 
 def _dropout_consts(drop_rate: float):

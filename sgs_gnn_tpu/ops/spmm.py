@@ -22,20 +22,23 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
-
-
 def _scatter_rows(vals, ids, num_segments):
     """Segment-sum (E, F) rows by ids, f32 accumulation. On TPU, when the
-    accumulator fits VMEM, route through the blocked one-hot MXU kernel
-    (ops/scatter_pallas.py) — ~30% faster than XLA's serialized scatter at
-    200k x 256 (tools/microbench_encode.py). bf16 rows keep the MXU fast
-    path; f32 rows would pay HIGHEST-precision passes, so they stay on XLA."""
+    kernel's true VMEM working set (one-hot panel + accumulator + input
+    block, scatter_pallas.scatter_block_for) fits, route through the blocked
+    one-hot MXU kernel (ops/scatter_pallas.py) — ~30% faster than XLA's
+    serialized scatter at 200k x 256 (tools/microbench_encode.py), with the
+    block auto-shrunk 1024->512->256 for mid-size N instead of falling off a
+    cliff. bf16 rows keep the MXU fast path; f32 rows would pay
+    HIGHEST-precision passes, so they stay on XLA."""
+    from ..core.fastpath import pallas_enabled
     feat = vals.shape[-1]
     if (jax.default_backend() == "tpu" and vals.dtype == jnp.bfloat16
-            and num_segments * feat * 4 <= _VMEM_BUDGET_BYTES):
-        from .scatter_pallas import scatter_add_pallas
-        return scatter_add_pallas(vals, ids, num_segments)
+            and pallas_enabled()):
+        from .scatter_pallas import scatter_add_pallas, scatter_block_for
+        block = scatter_block_for(num_segments, feat, itemsize=2)
+        if block is not None:
+            return scatter_add_pallas(vals, ids, num_segments, block=block)
     return jax.ops.segment_sum(vals.astype(jnp.float32), ids,
                                num_segments=num_segments)
 

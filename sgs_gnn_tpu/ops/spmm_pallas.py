@@ -145,7 +145,8 @@ def spmm_pallas(senders, receivers, weights, x, num_nodes: int,
     Falls back to the XLA segment-sum path when the dense residents exceed
     VMEM or when not running on TPU (and not interpreting).
     """
-    on_tpu = jax.default_backend() == "tpu"
+    from ..core.fastpath import pallas_enabled
+    on_tpu = jax.default_backend() == "tpu" and pallas_enabled()
     if (not (on_tpu or interpret)
             or not fits_vmem(num_nodes, x.shape[-1], x.dtype.itemsize)):
         from .spmm import spmm_xla

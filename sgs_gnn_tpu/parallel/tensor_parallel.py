@@ -84,7 +84,15 @@ def shard_params_tp(params, mesh: Mesh):
     Every hidden-sized axis must divide the "model" axis length. Returns
     the sharded pytree; feed it to the UNCHANGED jitted train step and XLA
     compiles the SPMD program (activation shardings + collectives derived
-    automatically)."""
+    automatically).
+
+    Side effect: disables the Pallas fast paths for the process
+    (core/fastpath.py) — pallas_call kernels carry no GSPMD partitioning
+    rule, so under a "model"-axis sharding they would fail to partition or
+    silently all-gather their operands. The TP step re-traces with the XLA
+    fallbacks, which GSPMD partitions correctly for any annotation."""
+    from ..core.fastpath import set_pallas_enabled
+    set_pallas_enabled(False)
     tp = mesh.shape["model"]
 
     def place(path, leaf):

@@ -71,6 +71,10 @@ def want_tile_index(cfg: Config) -> bool:
         # the scalar-prefetch BlockSpec grid is not shard_map-portable yet;
         # sharded paths score via XLA (logged by log_fastpath_status)
         return False
+    from ..core.fastpath import pallas_enabled
+    if not pallas_enabled():
+        # TP-sharded params in this process (core/fastpath.py)
+        return False
     if cfg.tile_index == "on":
         return True
     return jax.default_backend() == "tpu"
@@ -150,17 +154,20 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
                   f"the adjacency build)"
     log_fn(f"[fastpath] dense_subgraph={dense_s}")
     # blocked one-hot scatter kernel inside SpMM (ops/spmm.py _scatter_rows)
-    fits = g0.num_nodes * cfg.nhid * 4 <= 6 * 1024 * 1024
-    if backend == "tpu" and cfg.dtype == "bfloat16" and fits:
-        scatter_s = "on"
-    elif backend != "tpu":
+    # — the engage decision is the kernels' own working-set model, so this
+    # line cannot drift from what actually compiles
+    from ..ops.scatter_pallas import scatter_block_for
+    blk = scatter_block_for(g0.num_nodes, cfg.nhid, itemsize=2)
+    if backend != "tpu":
         scatter_s = f"off (backend={backend})"
     elif cfg.dtype != "bfloat16":
         scatter_s = "off (dtype=float32: XLA scatter keeps f32 rows; " \
                     "--dtype bfloat16 engages the MXU kernel)"
+    elif blk is not None:
+        scatter_s = f"on (block={blk})"
     else:
-        scatter_s = f"off (N*nhid accumulator {g0.num_nodes}x{cfg.nhid} " \
-                    f"exceeds the 6MB VMEM budget)"
+        scatter_s = f"off (N={g0.num_nodes} x F={cfg.nhid} working set " \
+                    f"exceeds the VMEM budget even at block=256)"
     log_fn(f"[fastpath] scatter_mxu_kernel={scatter_s}")
     # fused sampled-edge score head (ops/score_sampled.py): serves every
     # score_from call with unsorted indices (receiver_band == 0) — the
@@ -178,7 +185,7 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
                   f"h VMEM-resident)"
     else:
         fused_s = f"off (N={g0.num_nodes} x F={cfg.nhid} one-hot working " \
-                  f"set exceeds the 12MB VMEM budget)"
+                  f"set exceeds the VMEM budget)"
     log_fn(f"[fastpath] fused_sampled_head={fused_s}")
 
 
@@ -313,16 +320,18 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                 # stand-alone (utils/profiler.make_segment_profiler), plus
                 # PJRT allocator stats in place of CUDA memory counters
                 from ..utils.profiler import device_memory_mb
-                segs = seg_profile(params, batches[profile_bi],
-                                   jax.random.fold_in(run_key, 2**29 + epoch))
+                segs, seg_mb = seg_profile(
+                    params, batches[profile_bi],
+                    jax.random.fold_in(run_key, 2**29 + epoch))
                 mem = device_memory_mb()
                 mem_s = (f"allocated_mb={mem.get('allocated_mb', 0):.1f} "
                          f"peak_mb={mem.get('peak_mb', 0):.1f}"
                          if mem else "mem=n/a")
                 seg_s = " ".join(f"{k}_ms={v:.2f}" for k, v in segs.items())
+                mb_s = " ".join(f"{k}_mb={v:.1f}" for k, v in seg_mb.items())
                 log_fn(f"[gpu-profile] epoch={epoch} "
                        f"step_time_ms={epoch_times[-1]/max(len(order),1)*1e3:.2f} "
-                       f"batches={len(order)} {seg_s} {mem_s}")
+                       f"batches={len(order)} {seg_s} {mb_s} {mem_s}")
 
             if cfg.eval:
                 # device-side accumulation across partitions; ONE host
@@ -593,17 +602,19 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
 
             if seg_profile is not None:
                 from ..utils.profiler import device_memory_mb
-                segs = seg_profile(params, batches[0],
-                                   jax.random.fold_in(run_key, 2**29 + epoch))
+                segs, seg_mb = seg_profile(
+                    params, batches[0],
+                    jax.random.fold_in(run_key, 2**29 + epoch))
                 mem = device_memory_mb()
                 mem_s = (f"allocated_mb={mem.get('allocated_mb', 0):.1f} "
                          f"peak_mb={mem.get('peak_mb', 0):.1f}"
                          if mem else "mem=n/a")
                 seg_s = " ".join(f"{k}_ms={v:.2f}" for k, v in segs.items())
+                mb_s = " ".join(f"{k}_mb={v:.1f}" for k, v in seg_mb.items())
                 log_fn(f"[gpu-profile] epoch={epoch} "
                        f"super_step_time_ms="
                        f"{epoch_times[-1]/max(len(groups),1)*1e3:.2f} "
-                       f"super_steps={len(groups)} {seg_s} {mem_s}")
+                       f"super_steps={len(groups)} {seg_s} {mb_s} {mem_s}")
 
             if cfg.eval:
                 ev_acc = None
@@ -715,6 +726,23 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
     e_init = np.minimum(
         np.asarray(ds.edge_index[:, :min(ds.num_edges, 4096)]), n_init - 1)
 
+    seg_profile = None
+    profile_g = None
+    if cfg.gpu_profile:
+        # halo computes FULL-GRAPH semantics, so the segment profile runs
+        # the whole-graph segments stand-alone (bounded: skip past 5M edges
+        # where the unsharded stand-alone segments would not fit one chip)
+        if ds.num_edges <= 5_000_000:
+            from ..utils.profiler import make_segment_profiler
+            q_total = hb.q_loc * n_dev
+            seg_profile = make_segment_profiler(cfg, model, q_total)
+            profile_g = Graph.build(ds.x, ds.edge_index, ds.y, ds.train_mask,
+                                    ds.val_mask, ds.test_mask, prob=ds.prob,
+                                    num_classes=ds.num_classes)
+        else:
+            log_fn(f"[gpu-profile] skipped: E={ds.num_edges} > 5M (whole-"
+                   f"graph stand-alone segments exceed one chip)")
+
     for run in range(cfg.runs):
         run_key = jax.random.fold_in(root_key, run + 1)
         params = init_params(model, jax.random.PRNGKey(cfg.seed * 1000 + run),
@@ -730,8 +758,27 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
         best_temp = 0.0
         epoch_times: List[float] = []
         num_iteration = cfg.epochs
+        start_epoch = 0
 
-        for epoch in range(cfg.epochs):
+        from .checkpoint import TrainState, save_checkpoint, load_checkpoint
+        ckpt_path = os.path.join(
+            cfg.results_dir, "ckpt",
+            f"{cfg.dataset}_{cfg.mode}_{cfg.pipeline}_halo_run{run}.pkl")
+        if cfg.resume:
+            st = load_checkpoint(ckpt_path, params, opt_state)
+            if st is not None:
+                params, opt_state = st.params, st.opt_state
+                start_epoch = st.epoch + 1
+                res.best_val_f1 = st.best_val_f1
+                res.test_at_best_val = st.test_at_best_val
+                best_temp = st.best_temperature
+                res.losses = list(st.losses)
+                best_params_bytes = serialization.to_bytes(params)
+                if cfg.log:
+                    log_fn(f"resumed run {run} from epoch {start_epoch} "
+                           f"(best_val_f1={st.best_val_f1:.4f})")
+
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             res.total_updates += 1
             params, opt_state, m = step(
@@ -742,6 +789,21 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
             res.conditional_updates += int(m.conditional_update)
             res.losses.append(loss)
             epoch_times.append(time.time() - t0)
+
+            if seg_profile is not None:
+                from ..utils.profiler import device_memory_mb
+                segs, seg_mb = seg_profile(
+                    params, profile_g,
+                    jax.random.fold_in(run_key, 2**29 + epoch))
+                mem = device_memory_mb()
+                mem_s = (f"allocated_mb={mem.get('allocated_mb', 0):.1f} "
+                         f"peak_mb={mem.get('peak_mb', 0):.1f}"
+                         if mem else "mem=n/a")
+                seg_s = " ".join(f"{k}_ms={v:.2f}" for k, v in segs.items())
+                mb_s = " ".join(f"{k}_mb={v:.1f}" for k, v in seg_mb.items())
+                log_fn(f"[gpu-profile] epoch={epoch} "
+                       f"halo_step_time_ms={epoch_times[-1] * 1e3:.2f} "
+                       f"{seg_s} {mb_s} {mem_s}")
 
             if cfg.eval:
                 agg = aggregate_eval([ev(params, hb,
@@ -757,6 +819,13 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
                     best_params_bytes = serialization.to_bytes(params)
                     best_temp = temp
                 res.best_test_f1 = max(res.best_test_f1, agg["test_f1"])
+
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                save_checkpoint(ckpt_path, TrainState(
+                    params=params, opt_state=opt_state, epoch=epoch,
+                    best_val_f1=res.best_val_f1,
+                    test_at_best_val=res.test_at_best_val,
+                    best_temperature=best_temp, losses=res.losses))
 
             if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
                 num_iteration = epoch + 1
@@ -779,10 +848,13 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
         log_fn(f"Best Test F1 after loading saved model: "
                f"{res.final_test_f1:.4f}")
         if cfg.stats:
+            mem = _device_peak_mem_mb()
+            mem_s = f"{mem:.2f}" if mem is not None else "NA"
             edges_per_s = valid_edges / max(res.mean_epoch_time, 1e-9)
             log_fn(f"[stats] pipeline={cfg.pipeline} run={run} halo={n_dev} "
                    f"train_time_sec={res.train_time_sec:.4f} "
                    f"edges_per_s={edges_per_s:.0f} "
+                   f"peak_device_mem_mb={mem_s} "
                    f"best_val_f1={res.final_val_f1:.4f} "
                    f"best_test_f1={res.final_test_f1:.4f}")
         if cfg.save_csv:

@@ -171,27 +171,73 @@ def make_segment_profiler(cfg, model, q: int):
         leaves = jax.tree_util.tree_leaves(grads)
         return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
+    def _peak_mb():
+        try:
+            stats = jax.devices()[0].memory_stats()
+        except Exception:
+            return None
+        if not stats or "peak_bytes_in_use" not in stats:
+            return None
+        return stats["peak_bytes_in_use"] / (1024 ** 2)
+
+    # XLA's compiler-reported working set per segment executable
+    # (temp + output buffers) — the fallback memory metric where the PJRT
+    # allocator exposes no stats (remote-tunnel TPU backends return None
+    # from memory_stats). Computed once per (segment, shapes) and cached;
+    # the AOT lower/compile shares the jit cache for identical shapes.
+    _xla_mb_cache: Dict[int, float] = {}
+
+    def _xla_mb(fn, args):
+        key = id(fn)
+        if key not in _xla_mb_cache:
+            try:
+                ana = fn.lower(*args).compile().memory_analysis()
+                _xla_mb_cache[key] = (
+                    (getattr(ana, "temp_size_in_bytes", 0)
+                     + getattr(ana, "output_size_in_bytes", 0)) / (1024 ** 2))
+            except Exception:
+                _xla_mb_cache[key] = 0.0
+        return _xla_mb_cache[key]
+
     def _timed_call(fn, *args):
+        p0 = _peak_mb()
         t0 = time.perf_counter()
         out = fn(*args)
         # readback of (the first leaf of) the result is the sync point
         first = jax.tree_util.tree_leaves(out)[0]
         np.asarray(jax.device_get(first)).reshape(-1)[:1]
-        return out, (time.perf_counter() - t0) * 1e3
+        dt = (time.perf_counter() - t0) * 1e3
+        p1 = _peak_mb()
+        # peak-increment MB over the running allocator high-water mark —
+        # the reference's per-segment metric (reference utils.py:30-43:
+        # max_memory_allocated deltas around each bracketed segment). PJRT
+        # peaks are monotone, so later identical segments report 0 once the
+        # high-water mark is established, exactly like the reference's
+        # steady-state epochs. Falls back to XLA's static memory analysis
+        # of the segment executable when the allocator reports nothing.
+        if p0 is not None and p1 is not None:
+            mb = max(0.0, p1 - p0)
+        else:
+            mb = _xla_mb(fn, args)
+        return out, dt, mb
 
     def profile(params, g, key):
-        ms = {}
+        ms, mb = {}, {}
         if learned:
-            h, ms["edge_mlp_pre"] = _timed_call(seg_pre, params, g, key)
-            probs, ms["edge_score"] = _timed_call(seg_score, params, h, g,
-                                                  key)
-            (s, r), _ = _timed_call(seg_sample, probs, g, key)
+            h, ms["edge_mlp_pre"], mb["edge_mlp_pre"] = _timed_call(
+                seg_pre, params, g, key)
+            probs, ms["edge_score"], mb["edge_score"] = _timed_call(
+                seg_score, params, h, g, key)
+            (s, r), _, _ = _timed_call(seg_sample, probs, g, key)
         else:
             ms["edge_mlp_pre"] = ms["edge_score"] = 0.0
+            mb["edge_mlp_pre"] = mb["edge_score"] = 0.0
             s, r = g.senders, g.receivers
-        _, ms["gnn_forward"] = _timed_call(seg_gnn, params, g, s, r, key)
-        _, ms["backward"] = _timed_call(seg_backward, params, g, key)
-        return ms
+        _, ms["gnn_forward"], mb["gnn_forward"] = _timed_call(
+            seg_gnn, params, g, s, r, key)
+        _, ms["backward"], mb["backward"] = _timed_call(
+            seg_backward, params, g, key)
+        return ms, mb
 
     return profile
 

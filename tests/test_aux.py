@@ -220,14 +220,18 @@ def test_segment_profiler_names_and_values(rng, small_graph):
     params = init_params(model, _jax.random.PRNGKey(0), g.x, g.senders,
                          g.receivers)
     prof = make_segment_profiler(cfg, model, q)
-    ms = prof(params, g, _jax.random.PRNGKey(1))
+    ms, mb = prof(params, g, _jax.random.PRNGKey(1))
     assert set(ms) == set(SegmentTimer.SEGMENTS)
+    assert set(mb) == set(SegmentTimer.SEGMENTS)
     assert all(v >= 0 for v in ms.values())
+    # per-segment peak-increment MB (R1 parity): non-negative, finite
+    assert all(v >= 0 and np.isfinite(v) for v in mb.values())
     # non-learned mode: scorer segments report zero
     cfg2 = Config(mode="random")
     prof2 = make_segment_profiler(cfg2, model, q)
-    ms2 = prof2(params, g, _jax.random.PRNGKey(2))
+    ms2, mb2 = prof2(params, g, _jax.random.PRNGKey(2))
     assert ms2["edge_mlp_pre"] == 0.0 and ms2["edge_score"] == 0.0
+    assert mb2["edge_mlp_pre"] == 0.0
     assert ms2["backward"] > 0
 
 

@@ -385,3 +385,91 @@ def test_use_fused_sampled_head_gate(monkeypatch):
     assert not ss.use_fused_sampled_head(50_000, 256, 256)  # VMEM blown
     monkeypatch.setenv("SGS_FUSED_HEAD", "off")
     assert not ss.use_fused_sampled_head(2048, 256, 256)
+
+
+def test_scatter_vmem_model_regression_n6128_f256(rng):
+    """Round-3 shipped crash: N=6128, F=256, bf16, block=1024 -> 17.9MB
+    scoped VMEM > 16MB limit (logs/quality_SyntheticLarge_hybrid_tpu.log).
+    The working-set model must (a) reject block=1024 there, (b) still pick a
+    smaller block that fits, and (c) that block must compute correctly."""
+    from sgs_gnn_tpu.ops.scatter_pallas import (scatter_vmem_bytes,
+                                                scatter_block_for,
+                                                scatter_add_pallas)
+    n, f = 6128, 256
+    # the crashing config must be over budget in the model
+    assert scatter_vmem_bytes(n, f, 2, 1024) > 16 * 1024 * 1024
+    blk = scatter_block_for(n, f, itemsize=2)
+    assert blk is not None and blk < 1024
+    assert scatter_vmem_bytes(n, f, 2, blk) <= 12 * 1024 * 1024
+    # correctness at the chosen block (interpret mode, subsampled shape for
+    # runtime: same block-selection path, smaller E)
+    e = 2048
+    vals = jnp.asarray(rng.normal(size=(e, 32)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    out = scatter_add_pallas(vals, ids, n, block=blk, interpret=True)
+    ref = jax.ops.segment_sum(vals, ids, num_segments=n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_scatter_block_for_monotonic_and_bounds():
+    from sgs_gnn_tpu.ops.scatter_pallas import (scatter_block_for,
+                                                scatter_vmem_bytes,
+                                                sorted_scatter_block_for)
+    # tiny partitions keep the full block
+    assert scatter_block_for(2048, 256) == 1024
+    # huge N: no block fits -> XLA fallback
+    assert scatter_block_for(500_000, 256) is None
+    # scalar-kernel shape that the old 6MB-accumulator gate wrongly accepted
+    # (N=12288: one-hot panel alone is 24MB at block=1024)
+    assert scatter_vmem_bytes(12288, 128, 2, 1024) > 16 * 1024 * 1024
+    blk = scatter_block_for(12288, 128, itemsize=2)
+    assert blk is None or scatter_vmem_bytes(12288, 128, 2, blk) <= \
+        12 * 1024 * 1024
+    # banded kernel: the full-size f32 accumulator still bounds N
+    assert sorted_scatter_block_for(200_000, 64, band=256) is None
+    # ...but a narrow band keeps the full block at mid-size N
+    assert sorted_scatter_block_for(8192, 256, band=256) == 1024
+
+
+def test_pallas_routes_respect_global_switch(rng, monkeypatch):
+    """Every Pallas engage-gate must refuse when core.fastpath disables the
+    routes (TP-sharded params), even on a TPU backend."""
+    from sgs_gnn_tpu.core import fastpath
+    from sgs_gnn_tpu.ops.score_sampled import use_fused_sampled_head
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with fastpath.pallas_disabled():
+        assert not fastpath.pallas_enabled()
+        assert not use_fused_sampled_head(1024, 256, 256)
+        # _scatter_rows must take the segment_sum fallback (executable on
+        # CPU even with the faked backend — the pallas branch would not be)
+        from sgs_gnn_tpu.ops.spmm import _scatter_rows
+        vals = jnp.asarray(rng.normal(size=(64, 8))).astype(jnp.bfloat16)
+        ids = jnp.asarray(rng.integers(0, 10, 64).astype(np.int32))
+        out = _scatter_rows(vals, ids, 10)
+        ref = jax.ops.segment_sum(vals.astype(jnp.float32), ids,
+                                  num_segments=10)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+        # gather backward likewise
+        from sgs_gnn_tpu.ops.edge_gather import gather_rows
+        t = jnp.asarray(rng.normal(size=(10, 8)).astype(np.float32))
+        gfn = jax.grad(lambda tt: jnp.sum(gather_rows(tt, ids) ** 2))
+        assert np.isfinite(np.asarray(gfn(t))).all()
+        # scalar segment sum
+        from sgs_gnn_tpu.ops.scatter_pallas import segment_sum_scalar
+        d = segment_sum_scalar(jnp.ones(64), ids, 10)
+        np.testing.assert_allclose(
+            np.asarray(d),
+            np.asarray(jax.ops.segment_sum(jnp.ones(64), ids,
+                                           num_segments=10)))
+    assert fastpath.pallas_enabled()
+
+
+def test_want_tile_index_off_when_pallas_disabled(monkeypatch):
+    from sgs_gnn_tpu.core import Config, fastpath
+    from sgs_gnn_tpu.run.driver import want_tile_index
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = Config(mode="learned", pipeline="hybrid", tile_index="on")
+    assert want_tile_index(cfg)
+    with fastpath.pallas_disabled():
+        assert not want_tile_index(cfg)
