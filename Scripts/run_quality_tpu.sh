@@ -47,3 +47,28 @@ run_cfg "${LOG_DIR}/quality_SyntheticLarge_hybrid_tpu.log" \
   --edge_mlp_type GCN --GNN GCN --sparse_edge_mlp False \
   --conditional True --reg1 True --reg2 True --sample_perc 0.2 \
   --pipeline hybrid ${TPU_ARGS}
+
+# discriminative low-homophily protocol (VERDICT r3 #5): He~0.19 + noisy
+# features -> the LEARNED sparsifier must beat random AND the full graph
+# by a wide margin (the method's core claim); the reg1+conditional
+# ablation shows the regularizers matter. CPU references run first so
+# quality_compare has both sides.
+LOW_ARGS="--dataset SyntheticSBMLow --runs 3 --epochs 100 \
+  --edge_mlp_type GCN --GNN GCN --sample_perc 0.2 --pipeline hybrid"
+for mode in learned random full; do
+  extra=""
+  if [ "$mode" = learned ]; then
+    extra="--sparse_edge_mlp False --conditional True --reg1 True --reg2 True"
+  fi
+  run_cfg "${LOG_DIR}/quality_SyntheticSBMLow_mode_${mode}.log" \
+    ${LOW_ARGS} --mode "$mode" $extra --platform cpu \
+    --save_csv false --stats true --log true
+  run_cfg "${LOG_DIR}/quality_SyntheticSBMLow_mode_${mode}_tpu.log" \
+    ${LOW_ARGS} --mode "$mode" $extra ${TPU_ARGS}
+done
+run_cfg "${LOG_DIR}/quality_SyntheticSBMLow_ablate_reg_tpu.log" \
+  ${LOW_ARGS} --mode learned --sparse_edge_mlp False \
+  --conditional False --reg1 False --reg2 False ${TPU_ARGS}
+
+# the sweep is only evidence when learned separates from the baselines
+python "${ROOT_DIR}/tools/quality_separation.py" "${LOG_DIR}"

@@ -19,7 +19,7 @@ DATASETS = [
     'Reddit0.3', 'Reddit0.4', 'Reddit0.5', 'Reddit0.6', 'Reddit0.7', 'Moon',
     'Karate',
     # new in this framework: synthetic fixtures usable without downloads
-    'SyntheticSBM', 'SyntheticLarge',
+    'SyntheticSBM', 'SyntheticLarge', 'SyntheticSBMLow', 'SyntheticReddit',
 ]
 
 GNNS = ['GCN', 'GIN', 'GAT', 'Cheb']

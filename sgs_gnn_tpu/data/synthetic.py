@@ -57,6 +57,69 @@ def sbm_graph(n: int = 800, num_classes: int = 4, deg: int = 12,
     return x, ei, y, masks
 
 
+def community_sbm_graph(n: int = 232_965, num_classes: int = 41,
+                        communities: int = 128, deg: int = 246,
+                        h: float = 0.75, p_local: float = 0.85,
+                        feat_dim: int = 602, feat_noise: float = 1.0,
+                        train: float = 0.66, seed: int = 0):
+    """Reddit-shaped synthetic graph: ~n nodes, ~n*deg directed edges
+    (before symmetrization), power-law-ish degrees, COMMUNITY structure
+    (p_local of edges stay inside one of `communities` contiguous blocks —
+    so a graph partitioner can retain most edges inside parts, like METIS
+    does on the real Reddit: reference logs/memory_Reddit_hybrid.log:3-4),
+    and edge homophily ~h. Fully vectorized: per-edge receivers are drawn
+    from (community, class) node pools via one sorted index table, so
+    generating 57M edges takes seconds, not the minutes the per-node
+    rewire_to_homophily loop would need.
+
+    Defaults mirror Reddit's shape: 232,965 nodes / ~114.6M directed edges
+    after symmetrization / 602 features / 41 classes (reference
+    main.py:41-67 partition decision input)."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, n).astype(np.int32)
+    comm = (np.arange(n, dtype=np.int64) * communities // n).astype(np.int32)
+
+    # (community, class) pools through one argsort
+    key_node = comm.astype(np.int64) * num_classes + y
+    order = np.argsort(key_node, kind="stable").astype(np.int32)
+    counts = np.bincount(key_node, minlength=communities * num_classes)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # class-global pools for the (rare) empty (comm, class) fallback
+    gorder = np.argsort(y, kind="stable").astype(np.int32)
+    gcounts = np.bincount(y, minlength=num_classes)
+    gstarts = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+
+    e = n * deg // 2  # symmetrization doubles to ~n*deg directed edges
+    w = rng.pareto(1.5, n) + 1.0
+    senders = rng.choice(n, e, p=w / w.sum()).astype(np.int32)
+    local = rng.random(e) < p_local
+    same = rng.random(e) < h
+    scls = y[senders]
+    tcls = np.where(
+        same, scls,
+        (scls + 1 + (rng.random(e) * (num_classes - 1)).astype(np.int64))
+        % num_classes).astype(np.int64)
+    tcomm = np.where(local, comm[senders],
+                     rng.integers(0, communities, e)).astype(np.int64)
+    k = tcomm * num_classes + tcls
+    cnt = counts[k]
+    empty = cnt == 0
+    pick = (rng.random(e) * np.maximum(cnt, 1)).astype(np.int64)
+    receivers = order[starts[k] + np.minimum(pick, cnt - 1)]
+    if empty.any():
+        ke = tcls[empty]
+        pe = (rng.random(empty.sum()) * gcounts[ke]).astype(np.int64)
+        receivers[empty] = gorder[gstarts[ke] + pe]
+    keep = senders != receivers
+    ei = np.stack([senders[keep], receivers[keep]])
+
+    centers = rng.normal(size=(num_classes, feat_dim))
+    x = (centers[y] + feat_noise * rng.normal(size=(n, feat_dim))
+         ).astype(np.float32)
+    masks = random_masks(n, train, (1 - train) / 2, rng)
+    return x, ei, y, masks
+
+
 def random_masks(n: int, train: float, val: float,
                  rng: np.random.Generator):
     perm = rng.permutation(n)

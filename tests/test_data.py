@@ -476,3 +476,28 @@ def test_ogb_mag_tensor_dir_loader(tmp_path):
     ds = get_dataset(Config(dataset="OGB_MAG", data_dir=str(tmp_path)))
     assert ds.num_nodes == n
     assert ds.train_mask.sum() == tr.sum()
+
+
+def test_community_sbm_graph_properties():
+    """Reddit-shaped generator (VERDICT r3 #2): target homophily, community
+    locality (so a partitioner can retain most edges), right shapes."""
+    from sgs_gnn_tpu.data.synthetic import community_sbm_graph
+    n, communities = 4000, 16
+    x, ei, y, (tr, va, te) = community_sbm_graph(
+        n=n, num_classes=7, communities=communities, deg=20, h=0.7,
+        p_local=0.85, feat_dim=32, seed=0)
+    assert x.shape == (n, 32) and y.shape == (n,)
+    assert ei.min() >= 0 and ei.max() < n
+    assert not (ei[0] == ei[1]).any()            # no self-loops
+    he = float(np.mean(y[ei[0]] == y[ei[1]]))
+    assert abs(he - 0.7) < 0.05, he              # homophily on target
+    comm = (np.arange(n, dtype=np.int64) * communities // n)
+    loc = float(np.mean(comm[ei[0]] == comm[ei[1]]))
+    # p_local edges target the home community; non-local ones rarely land
+    # there by chance, so locality ~= p_local
+    assert loc > 0.8, loc
+    assert tr.sum() + va.sum() + te.sum() == n
+    # degree profile is heavy-tailed (pareto weights): max out-degree far
+    # above the mean
+    outdeg = np.bincount(ei[0], minlength=n)
+    assert outdeg.max() > 5 * outdeg.mean()

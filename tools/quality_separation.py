@@ -1,0 +1,75 @@
+"""Assert the learned sparsifier SEPARATES from its baselines.
+
+Most synthetic sweep configs saturate (SyntheticSBM: F1=1.0 for every
+mode), so they only prove "it runs". This tool reads the discriminative
+configs' logs and enforces the method's core claim (reference
+README.md:3-5): on low-homophily graphs, `--mode learned` must beat
+`--mode random` (and, on SyntheticSBMLow, the FULL graph) by more than
+3 sigma of the run spread. Exit 1 when the separation is absent —
+a quality sweep that cannot fail is not evidence.
+
+Usage: python tools/quality_separation.py [logs_dir]
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+SUMMARY = re.compile(
+    r"Mean Std of Loaded best Val model Test F1 Score: "
+    r"([0-9.]+) \+/- ([0-9.]+)")
+
+# (name, learned_log, baseline_log, min_margin) — margin is the absolute
+# F1 gap floor on top of the 3-sigma requirement
+CHECKS = [
+    ("SBMLow learned > random (tpu)",
+     "quality_SyntheticSBMLow_mode_learned_tpu.log",
+     "quality_SyntheticSBMLow_mode_random_tpu.log", 0.15),
+    ("SBMLow learned > full (tpu)",
+     "quality_SyntheticSBMLow_mode_learned_tpu.log",
+     "quality_SyntheticSBMLow_mode_full_tpu.log", 0.10),
+    ("SBMLow learned > ablated (tpu)",
+     "quality_SyntheticSBMLow_mode_learned_tpu.log",
+     "quality_SyntheticSBMLow_ablate_reg_tpu.log", 0.0),
+    ("Moon learned > random (tpu)",
+     "quality_Moon_hybrid_tpu.log",
+     "quality_Moon_mode_random_tpu.log", 0.03),
+    ("SBMLow learned > random (cpu)",
+     "quality_SyntheticSBMLow_mode_learned.log",
+     "quality_SyntheticSBMLow_mode_random.log", 0.15),
+]
+
+
+def read_summary(path):
+    try:
+        with open(path) as f:
+            m = SUMMARY.findall(f.read())
+        return (float(m[-1][0]), float(m[-1][1])) if m else None
+    except OSError:
+        return None
+
+
+def main(logs_dir="logs"):
+    bad = 0
+    print(f"{'check':38s} {'learned':>14s} {'baseline':>14s}  verdict")
+    for name, lp, bp, margin in CHECKS:
+        sl = read_summary(os.path.join(logs_dir, lp))
+        sb = read_summary(os.path.join(logs_dir, bp))
+        if sl is None or sb is None:
+            print(f"{name:38s} {'-':>14s} {'-':>14s}  log incomplete")
+            bad += 1
+            continue
+        need = 3.0 * max(sl[1], sb[1]) + margin
+        gap = sl[0] - sb[0]
+        ok = gap > need
+        bad += 0 if ok else 1
+        verdict = f"ok (gap {gap:+.4f} > {need:.4f})" if ok else \
+            f"NO SEPARATION (gap {gap:+.4f} <= {need:.4f})"
+        print(f"{name:38s} {sl[0]:7.4f}±{sl[1]:5.4f} "
+              f"{sb[0]:7.4f}±{sb[1]:5.4f}  {verdict}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
