@@ -11,6 +11,8 @@ shapes, no host sync.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,13 @@ def _select_topk(keys, q: int, approx: bool, recall: float):
         # faster than exact top_k at E=1M. For *stochastic* key vectors the
         # missed tail entries (recall_target ~0.97) are statistically
         # indistinguishable from the sampling noise itself.
+        if (jax.default_backend() == "tpu" and keys.dtype == jnp.float32
+                and os.environ.get("SGS_TOPK_BF16", "on") != "off"):
+            # bf16 keys halve the HBM traffic of the reduction; rounding
+            # perturbs each Gumbel key by <0.4%, far inside the sampling
+            # noise the approx reduction already accepts (-inf masking is
+            # exactly representable). SGS_TOPK_BF16=off restores f32.
+            keys = keys.astype(jnp.bfloat16)
         _, idx = jax.lax.approx_max_k(keys, q, recall_target=recall)
     else:
         _, idx = jax.lax.top_k(keys, q)
