@@ -187,20 +187,6 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
         fused_s = f"off (N={g0.num_nodes} x F={cfg.nhid} one-hot working " \
                   f"set exceeds the VMEM budget)"
     log_fn(f"[fastpath] fused_sampled_head={fused_s}")
-    # MXU one-hot row-select for reg2's narrow endpoint gathers
-    # (ops/select_pallas.py) — decision comes from the kernel's own gate
-    if cfg.mode == "learned" and cfg.reg2:
-        from ..ops.select_pallas import _use_mxu_select
-        c = g0.num_classes
-        if _use_mxu_select(g0.num_nodes, c):
-            sel_s = f"on (N={g0.num_nodes} x C={c}: one-hot select fwd " \
-                    f"+ scatter bwd)"
-        elif backend != "tpu":
-            sel_s = f"off (backend={backend})"
-        else:
-            sel_s = f"off (N={g0.num_nodes} x C={c} outside the " \
-                    f"narrow-table window)"
-        log_fn(f"[fastpath] reg2_mxu_select={sel_s}")
 
 
 def _valid_edges(g: Graph) -> int:

@@ -86,17 +86,18 @@ def consistency_loss(edge_probs, sampled_senders, sampled_receivers,
     (optional bool mask over sampled edges) excludes padding selections from
     the mean — identity when every sampled edge is real.
 
-    The two endpoint gathers go through ops/select_pallas.gather_rows_narrow:
-    the GNN output is a NARROW table (N x num_classes), so on TPU both the
-    forward select and the backward scatter ride blocked one-hot MXU
-    kernels — the forward DMA alone cost ~2 x 1.2 ms at q=200k (per-row
-    latency, tools/microbench_gather.py), vs ~0.2 ms of one-hot FLOPs at
-    N=2048, C<=128. (Round 3 had already moved the backward to the MXU
-    scatter: 4.0 ms -> 1.5 ms; this removes the forward DMA too.)
+    The two endpoint gathers go through ops/edge_gather.gather_rows so
+    their backward rides the blocked one-hot MXU scatter instead of XLA's
+    serialized scatter (4.0 ms -> 1.5 ms of the r3 bench step). The
+    FORWARD stays a per-row DMA gather deliberately: an MXU one-hot
+    select was A/B-measured SLOWER (3.3 ms vs 2.5 ms fwd+bwd at q=200k,
+    N=2048, C=41, bf16) because building the (N, B) one-hot panel is
+    VPU-bound compare work exceeding the DMA latency it replaces
+    (r4 measurement, PERF.md).
     """
-    from ..ops.select_pallas import gather_rows_narrow
-    src = gather_rows_narrow(node_embeddings, sampled_senders)
-    dst = gather_rows_narrow(node_embeddings, sampled_receivers)
+    from ..ops.edge_gather import gather_rows
+    src = gather_rows(node_embeddings, sampled_senders)
+    dst = gather_rows(node_embeddings, sampled_receivers)
     num = jnp.sum(src * dst, axis=-1)
 
     def safe_norm(v):

@@ -243,14 +243,13 @@ def test_fastpath_status_lines(small_graph):
     lines = []
     cfg = Config(mode="learned", pipeline="hybrid")
     log_fastpath_status(cfg, [g], q=100, log_fn=lines.append)
-    assert len(lines) == 5
+    assert len(lines) == 4
     assert all(ln.startswith("[fastpath]") for ln in lines)
     # CPU backend: tile=auto declines, dense=auto declines, scatter off
     assert "tile_score_kernel=off" in lines[0]
     assert "dense_subgraph=off" in lines[1]
     assert "scatter_mxu_kernel=off" in lines[2]
     assert "fused_sampled_head=off" in lines[3]
-    assert "reg2_mxu_select=off" in lines[4]
     # every off-line carries a parenthesized reason
     assert all("(" in ln for ln in lines)
     # non-hybrid pipelines report the tile kernel as not applicable

@@ -473,53 +473,3 @@ def test_want_tile_index_off_when_pallas_disabled(monkeypatch):
     assert want_tile_index(cfg)
     with fastpath.pallas_disabled():
         assert not want_tile_index(cfg)
-
-
-def test_select_rows_pallas_interpret_matches_gather(rng):
-    from sgs_gnn_tpu.ops.select_pallas import _select_rows_impl
-    for n, f, q in [(40, 8, 700), (8, 128, 256), (5, 41, 3), (1, 1, 1)]:
-        table = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-        idx = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
-        out = _select_rows_impl(table, idx, block=256, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(table[idx]),
-                                   rtol=1e-5, atol=1e-6)
-
-
-def test_gather_rows_narrow_grad_matches_plain(rng):
-    # CPU: falls back to gather_rows; gradient must equal the plain form.
-    from sgs_gnn_tpu.ops.select_pallas import gather_rows_narrow
-    n, f, q = 30, 41, 200
-    table = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-    idx = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
-
-    g1 = jax.grad(lambda t: jnp.sum(jnp.sin(gather_rows_narrow(t, idx))))(
-        table)
-    g2 = jax.grad(lambda t: jnp.sum(jnp.sin(t[idx])))(table)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
-                               atol=1e-6)
-
-
-def test_select_rows_custom_vjp_interpret(rng):
-    # exercise the Pallas fwd + one-hot scatter bwd pairing via interpret
-    from sgs_gnn_tpu.ops.select_pallas import _select_rows_impl
-    from sgs_gnn_tpu.ops.scatter_pallas import scatter_add_pallas
-    n, f, q = 24, 16, 300
-    table = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-    idx = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
-    out = _select_rows_impl(table, idx, block=128, interpret=True)
-    # cotangent of sum(out * out) wrt table == scatter_add of 2*out rows
-    ref = jax.grad(lambda t: jnp.sum(t[idx] ** 2))(table)
-    got = scatter_add_pallas(2 * out, idx, n, block=128, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
-                               atol=1e-5)
-
-
-def test_use_mxu_select_gating(monkeypatch):
-    from sgs_gnn_tpu.ops import select_pallas as sp
-    from sgs_gnn_tpu.core import fastpath
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert sp._use_mxu_select(2048, 41)          # reg2 shape: narrow, small
-    assert not sp._use_mxu_select(2048, 512)     # wide: DMA gather wins
-    assert not sp._use_mxu_select(500_000, 41)   # table exceeds VMEM
-    with fastpath.pallas_disabled():
-        assert not sp._use_mxu_select(2048, 41)

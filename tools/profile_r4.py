@@ -5,7 +5,7 @@ profile_r3: 20 param-chained iterations, data-dependent readback closes the
 timing window):
   * sampling keys + approx_max_k (f32 vs bf16 keys)
   * packed edge-aux gather at q rows
-  * reg2 endpoint gathers: DMA gather_rows vs MXU gather_rows_narrow
+  * reg2 endpoint gathers (DMA fwd + MXU scatter bwd)
   * dual-optimizer update alone
   * dense adjacency build
   * full step A/Bs: SGS_TOPK_BF16 on/off, tile t/b retune
@@ -100,7 +100,6 @@ def main():
         out_tab = jnp.asarray(
             np.random.default_rng(3).normal(size=(n, 41)), jnp.float32)
         from sgs_gnn_tpu.ops.edge_gather import gather_rows
-        from sgs_gnn_tpu.ops.select_pallas import gather_rows_narrow
 
         def reg2ish(fn, tab):
             a = fn(tab, nodes)
@@ -109,9 +108,6 @@ def main():
 
         timeit("reg2 endpoint gathers fwd+bwd: DMA gather_rows",
                jax.jit(jax.grad(lambda t: reg2ish(gather_rows, t))), out_tab)
-        timeit("reg2 endpoint gathers fwd+bwd: MXU gather_rows_narrow",
-               jax.jit(jax.grad(lambda t: reg2ish(gather_rows_narrow, t))),
-               out_tab)
 
         from sgs_gnn_tpu.ops.dense_graph import dense_adj
         timeit("dense adjacency build (q edges -> (N,N))",
@@ -152,7 +148,8 @@ def main():
         yy = rngg.integers(0, 41, nn).astype(np.int32)
         tr = rngg.random(nn) < 0.66
         prob = degree_prior(s, r, nn)
-        for t, b in [(256, 1024), (128, 512), (128, 1024)]:
+        for t, b in [(256, 1024), (128, 512), (128, 1024), (64, 512),
+                     (64, 256)]:
             g2 = Graph.build(xx, np.stack([s, r]), yy, tr, ~tr,
                              np.zeros(nn, bool), prob=prob, num_classes=41,
                              sort_by_receiver=True, tile_index=True,
