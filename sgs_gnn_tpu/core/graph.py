@@ -102,7 +102,7 @@ class Graph:
               pad_edge_node: int = 0,
               sort_by_receiver: bool = False,
               tile_index: bool = False,
-              tile_t: int = 256, tile_b: int = 1024) -> "Graph":
+              tile_t: int = 128, tile_b: int = 512) -> "Graph":
         """Construct from host numpy arrays, optionally padding the edge list.
 
         Padding edges are self-loops on ``pad_edge_node`` with

@@ -59,14 +59,19 @@ class TileIndex(NamedTuple):
     n_pad: int            # node count padded to a tile multiple
 
 
-def build_tile_index(senders, receivers, num_nodes: int, t: int = 256,
-                     b: int = 1024,
+def build_tile_index(senders, receivers, num_nodes: int, t: int = 128,
+                     b: int = 512,
                      max_overhead: float = 1.35) -> Optional[TileIndex]:
     """Bucket edges by (sender//t, receiver//t); pad buckets to b-multiples.
 
     Returns None when the padded layout would exceed ``max_overhead`` x E
     (many near-empty tile pairs — large-N graphs should score via the XLA
-    path instead)."""
+    path instead).
+
+    Defaults t=128/b=512 are the measured optimum on the bench partition
+    (r4 sweep, tools/profile_r4.py tile: 31.43 ms/step vs 31.92 at
+    t=256/b=1024 — halving t halves the one-hot select FLOPs; t=64 loses
+    to slot-padding overhead at 1.28x)."""
     s = np.asarray(senders, np.int64)
     r = np.asarray(receivers, np.int64)
     e = s.shape[0]

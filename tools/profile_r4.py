@@ -162,5 +162,31 @@ def main():
                       Config(**base), g2)
 
 
+def ablations():
+    g = build_partition()
+    base = dict(pipeline="hybrid", mode="learned", conditional=True,
+                sparse_edge_mlp=True, reg1=True, reg2=True,
+                hybrid_checkpoint=False, nhid=256, dtype="bfloat16",
+                prng_impl="rbg", approx_topk=True, donate=False)
+    step_time("full step (bench config)", Config(**base), g)
+    step_time("  - drop_rate=0 (no dropout PRNG/masks)",
+              Config(**{**base, "drop_rate": 0.0}), g)
+    step_time("  - reg2 off", Config(**{**base, "reg2": False}), g)
+    step_time("  - reg1 off", Config(**{**base, "reg1": False}), g)
+    step_time("  - conditional off (no gate fwd, no 2x f1)",
+              Config(**{**base, "conditional": False}), g)
+    step_time("  - conditional+sparse_edge_mlp off (no rand subgraph)",
+              Config(**{**base, "conditional": False,
+                        "sparse_edge_mlp": False}), g)
+    step_time("  - eval-free lower bound: all of the above off",
+              Config(**{**base, "drop_rate": 0.0, "reg2": False,
+                        "reg1": False, "conditional": False,
+                        "sparse_edge_mlp": False}), g)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "ablate":
+        print(f"backend={jax.default_backend()}  iters={ITERS}", flush=True)
+        ablations()
+    else:
+        main()
