@@ -58,8 +58,8 @@ def sbm_graph(n: int = 800, num_classes: int = 4, deg: int = 12,
 
 
 def community_sbm_graph(n: int = 232_965, num_classes: int = 41,
-                        communities: int = 128, deg: int = 246,
-                        h: float = 0.75, p_local: float = 0.85,
+                        communities: int = 128, deg: int = 330,
+                        h: float = 0.95, p_local: float = 0.85,
                         feat_dim: int = 602, feat_noise: float = 1.0,
                         train: float = 0.66, seed: int = 0):
     """Reddit-shaped synthetic graph: ~n nodes, ~n*deg directed edges
@@ -67,49 +67,45 @@ def community_sbm_graph(n: int = 232_965, num_classes: int = 41,
     (p_local of edges stay inside one of `communities` contiguous blocks —
     so a graph partitioner can retain most edges inside parts, like METIS
     does on the real Reddit: reference logs/memory_Reddit_hybrid.log:3-4),
-    and edge homophily ~h. Fully vectorized: per-edge receivers are drawn
-    from (community, class) node pools via one sorted index table, so
-    generating 57M edges takes seconds, not the minutes the per-node
+    and edge homophily ~h. Fully vectorized (one bulk draw for all ~77M
+    raw edges), so generation takes seconds, not the minutes the per-node
     rewire_to_homophily loop would need.
+
+    Labels are COMMUNITY-CORRELATED (each community has a majority class,
+    like subreddit topics): node i in community c gets class c % num_classes
+    with probability ``h``, else uniform random. Receivers are drawn
+    uniformly within the (contiguous) target community, so homophily
+    emerges from community structure (He ~= p_local * h^2 + cross terms)
+    instead of from tiny per-(community, class) pools — class-targeted
+    draws would collapse under dedup (a node's ~150 same-class-local draws
+    land in a ~44-node pool).
 
     Defaults mirror Reddit's shape: 232,965 nodes / ~114.6M directed edges
     after symmetrization / 602 features / 41 classes (reference
     main.py:41-67 partition decision input)."""
     rng = np.random.default_rng(seed)
-    y = rng.integers(0, num_classes, n).astype(np.int32)
     comm = (np.arange(n, dtype=np.int64) * communities // n).astype(np.int32)
+    majority = (comm % num_classes).astype(np.int32)
+    y = np.where(rng.random(n) < h, majority,
+                 rng.integers(0, num_classes, n)).astype(np.int32)
+    # contiguous community boundaries: comm c spans [c*n//C, (c+1)*n//C)
+    cstart = (np.arange(communities, dtype=np.int64) * n) // communities
+    csize = np.diff(np.concatenate([cstart, [n]]))
 
-    # (community, class) pools through one argsort
-    key_node = comm.astype(np.int64) * num_classes + y
-    order = np.argsort(key_node, kind="stable").astype(np.int32)
-    counts = np.bincount(key_node, minlength=communities * num_classes)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    # class-global pools for the (rare) empty (comm, class) fallback
-    gorder = np.argsort(y, kind="stable").astype(np.int32)
-    gcounts = np.bincount(y, minlength=num_classes)
-    gstarts = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
-
-    e = n * deg // 2  # symmetrization doubles to ~n*deg directed edges
+    # each node draws `deg` out-edges; symmetrization then roughly doubles
+    # the directed count minus duplicate collisions (hot pareto senders
+    # re-draw the same neighbors inside their ~1.8k-node community). The
+    # default deg=330/h=0.95 measured avg directed degree 494 and
+    # He=0.739 at matched community size — Reddit's 492 and 0.756
+    e = n * deg
     w = rng.pareto(1.5, n) + 1.0
     senders = rng.choice(n, e, p=w / w.sum()).astype(np.int32)
     local = rng.random(e) < p_local
-    same = rng.random(e) < h
-    scls = y[senders]
-    tcls = np.where(
-        same, scls,
-        (scls + 1 + (rng.random(e) * (num_classes - 1)).astype(np.int64))
-        % num_classes).astype(np.int64)
     tcomm = np.where(local, comm[senders],
                      rng.integers(0, communities, e)).astype(np.int64)
-    k = tcomm * num_classes + tcls
-    cnt = counts[k]
-    empty = cnt == 0
-    pick = (rng.random(e) * np.maximum(cnt, 1)).astype(np.int64)
-    receivers = order[starts[k] + np.minimum(pick, cnt - 1)]
-    if empty.any():
-        ke = tcls[empty]
-        pe = (rng.random(empty.sum()) * gcounts[ke]).astype(np.int64)
-        receivers[empty] = gorder[gstarts[ke] + pe]
+    receivers = (cstart[tcomm]
+                 + (rng.random(e) * csize[tcomm]).astype(np.int64)
+                 ).astype(np.int32)
     keep = senders != receivers
     ei = np.stack([senders[keep], receivers[keep]])
 
