@@ -115,6 +115,9 @@ class Config:
     # score via XLA); 'on' forces the tile layout on any backend (the
     # portable fallback computes the same tile-order scores).
     tile_index: str = 'auto'
+    # whole-epoch device-side scan over stacked cluster batches: one
+    # dispatch per epoch instead of one per batch (run/driver.py use_scan)
+    scan_epoch: str = 'auto'
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True
@@ -189,6 +192,8 @@ class Config:
               f"dense_subgraph={self.dense_subgraph!r} must be auto|on|off")
         check(self.tile_index in ("auto", "on", "off"),
               f"tile_index={self.tile_index!r} must be auto|on|off")
+        check(self.scan_epoch in ("auto", "off"),
+              f"scan_epoch={self.scan_epoch!r} must be auto|off")
         check(self.dense_threshold > 0,
               f"dense_threshold={self.dense_threshold} must be > 0")
         check(self.num_partitions >= 0,

@@ -84,6 +84,29 @@ def make_eval_step(cfg: Config, model, q: int, force_small: bool = False):
     return jax.jit(eval_step)
 
 
+def make_scan_eval_step(cfg: Config, model, q: int, n_batches: int):
+    """Whole-fleet ensemble eval as ONE device-side lax.scan over stacked
+    partition batches (companion of train.make_scan_epoch_step): the
+    per-batch eval dispatches collapse into a single call returning the
+    summed weighted-F1 dict. Key schedule matches the per-batch loop
+    (run/driver.py passes the SAME epoch key to every batch)."""
+    inner = make_eval_step(cfg, model, q)
+
+    def scan_eval(params, stacked, key, temperature):
+        def body(acc, bi):
+            g = jax.tree_util.tree_map(lambda a: a[bi], stacked)
+            res = inner(params, g, key, temperature)
+            return jax.tree_util.tree_map(jnp.add, acc, res), ()
+
+        zeros = {f"{s}_{k}": jnp.zeros(())
+                 for s in ("train", "val", "test")
+                 for k in ("f1_weighted", "count")}
+        acc, _ = jax.lax.scan(body, zeros, jnp.arange(n_batches))
+        return acc
+
+    return jax.jit(scan_eval)
+
+
 def aggregate_eval(batch_results) -> Dict[str, float]:
     """Weighted-mean F1 across partition batches (reference
     evaluate.py:169-172). One device_get moves every pending result in a

@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help='densify per-step subgraphs into (N,N) adjacencies '
                         '(MXU matmuls instead of gather/scatter)')
     p.add_argument('--dense_threshold', type=int, default=d.dense_threshold)
+    p.add_argument('--scan_epoch', type=str, default=d.scan_epoch,
+                   help="'auto' runs whole epochs as one device-side scan "
+                        "over stacked cluster batches when eligible; 'off' "
+                        "keeps the per-batch dispatch loop")
     p.add_argument('--tile_index', type=str, default=d.tile_index,
                    choices=['auto', 'on', 'off'],
                    help='fused tile-pair score kernel for the hybrid '

@@ -90,6 +90,15 @@ def prepare_batches(cfg: Config, ds: HostDataset):
         q = int(cfg.metis_threshold * cfg.sample_perc)
         part = partition_nodes(ds.edge_index, ds.num_nodes, num_parts,
                                method="native")
+        # the degree-capped packer may leave some partitions unused
+        # (num_parts is a ceiling, like METIS's nparts); drop them so no
+        # empty padded batches are materialized
+        used = np.unique(part)
+        if used.size < num_parts:
+            remap = np.full(num_parts, -1, np.int32)
+            remap[used] = np.arange(used.size, dtype=np.int32)
+            part = remap[part]
+            num_parts = int(used.size)
         batches = induced_subgraphs(ds.x, ds.edge_index, ds.y, ds.train_mask,
                                     ds.val_mask, ds.test_mask, part,
                                     num_parts, tile_index=tiles)
@@ -230,13 +239,40 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                       ds.num_classes, cfg.drop_rate, cfg.edge_mlp_type,
                       heads=cfg.gat_heads, dtype=cfg.dtype)
     results: List[RunResult] = []
+
+    # whole-epoch device-side scan (train/pipelines.make_scan_epoch_step):
+    # ONE dispatch per epoch instead of one per cluster batch — at 100+
+    # batches the per-call dispatch latency dominates the epoch (measured
+    # ~2.7 s of a 7.9 s Reddit-scale epoch). Engaged when every batch takes
+    # the sampled path and has train nodes (the flagship partitioned
+    # workload); mixed fleets keep the per-batch loop, whose two-executable
+    # big/small dispatch cannot live inside one scan body.
+    use_scan = (cfg.scan_epoch != "off" and cfg.mode == "learned"
+                and n_batches > 1 and all(v > q for v in valid_e)
+                and all(has_train))
+    stacked = None
+    if use_scan:
+        from ..parallel.partitioned import stack_batches
+        from ..train.pipelines import make_scan_epoch_step
+        from ..eval.evaluate import make_scan_eval_step
+        stacked = stack_batches(batches)
+        g_keep = batches[0]
+        # free the per-batch device arrays: the stacked copy is the only
+        # consumer from here on (halves peak device memory)
+        batches = None
+        if cfg.log:
+            log_fn(f"[fastpath] scan_epoch=on ({n_batches} batches/dispatch)")
+    elif cfg.log and cfg.scan_epoch != "off" and n_batches > 1:
+        log_fn("[fastpath] scan_epoch=off (mixed big/small batch fleet or "
+               "train-less partitions)")
+
     # 'rbg' is the fast TPU-native PRNG; threefry (default) is slower but
     # bitwise-stable across backends — tests use threefry, big runs rbg
     root_key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
 
     for run in range(cfg.runs):
         run_key = jax.random.fold_in(root_key, run + 1)
-        g0 = batches[0]
+        g0 = g_keep if use_scan else batches[0]
         # parameter init always uses threefry: rbg keys have duplicated
         # 64-bit halves and fold_in chains can produce structured draws that
         # poison training (observed: anti-predictive models). rbg is only
@@ -246,11 +282,16 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                              g0.x, g0.senders, g0.receivers)
         opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
         opt_state = opt.init(params)
-        step_big = make_train_step(cfg, model, opt, q, cfg.epochs)
-        step_small = make_train_step(cfg, model, opt, q, cfg.epochs,
-                                     force_small=True)
-        ev_big = make_eval_step(cfg, model, q)
-        ev_small = make_eval_step(cfg, model, q, force_small=True)
+        if use_scan:
+            epoch_step = make_scan_epoch_step(cfg, model, opt, q,
+                                              cfg.epochs, n_batches)
+            ev_scan = make_scan_eval_step(cfg, model, q, n_batches)
+        else:
+            step_big = make_train_step(cfg, model, opt, q, cfg.epochs)
+            step_small = make_train_step(cfg, model, opt, q, cfg.epochs,
+                                         force_small=True)
+            ev_big = make_eval_step(cfg, model, q)
+            ev_small = make_eval_step(cfg, model, q, force_small=True)
         seg_profile = None
         if cfg.gpu_profile:
             from ..utils.profiler import make_segment_profiler
@@ -293,20 +334,31 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             # (the reference blocks on loss.item() every batch,
             # training_hybrid.py:186 — at Reddit scale that is 115 blocking
             # device->host syncs per epoch)
-            loss_acc = jnp.zeros(())
-            cond_acc = jnp.zeros(())
-            temp_dev = jnp.ones(())
-            for bi in order:
-                if not has_train[bi]:
-                    continue
-                res.total_updates += 1
-                step = step_big if valid_e[bi] > q else step_small
-                params, opt_state, m = step(
-                    params, opt_state, batches[bi], jnp.asarray(epoch),
-                    jax.random.fold_in(run_key, epoch * n_batches + int(bi) + 1))
-                loss_acc = loss_acc + m.loss
-                cond_acc = cond_acc + m.conditional_update
-                temp_dev = m.temperature
+            if use_scan:
+                # one dispatch for the whole epoch; identical per-batch
+                # keys/order/updates as the loop below (parity test:
+                # tests/test_train.py::test_scan_epoch_matches_batch_loop)
+                res.total_updates += n_batches
+                params, opt_state, (loss_acc, cond_acc, temp_dev) = \
+                    epoch_step(params, opt_state, stacked,
+                               jnp.asarray(order.astype(np.int32)),
+                               jnp.asarray(epoch), run_key)
+            else:
+                loss_acc = jnp.zeros(())
+                cond_acc = jnp.zeros(())
+                temp_dev = jnp.ones(())
+                for bi in order:
+                    if not has_train[bi]:
+                        continue
+                    res.total_updates += 1
+                    step = step_big if valid_e[bi] > q else step_small
+                    params, opt_state, m = step(
+                        params, opt_state, batches[bi], jnp.asarray(epoch),
+                        jax.random.fold_in(run_key,
+                                           epoch * n_batches + int(bi) + 1))
+                    loss_acc = loss_acc + m.loss
+                    cond_acc = cond_acc + m.conditional_update
+                    temp_dev = m.temperature
             # reference divides by len(cluster_loader) incl. skipped batches
             loss = float(loss_acc) / n_batches   # epoch's one sync point
             temp = float(temp_dev)
@@ -320,8 +372,9 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                 # stand-alone (utils/profiler.make_segment_profiler), plus
                 # PJRT allocator stats in place of CUDA memory counters
                 from ..utils.profiler import device_memory_mb
+                profile_g = g_keep if use_scan else batches[profile_bi]
                 segs, seg_mb = seg_profile(
-                    params, batches[profile_bi],
+                    params, profile_g,
                     jax.random.fold_in(run_key, 2**29 + epoch))
                 mem = device_memory_mb()
                 mem_s = (f"allocated_mb={mem.get('allocated_mb', 0):.1f} "
@@ -336,13 +389,15 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             if cfg.eval:
                 # device-side accumulation across partitions; ONE host
                 # transfer per eval epoch inside aggregate_eval
-                ev_acc = None
-                for bi in range(n_batches):
-                    ev = ev_big if valid_e[bi] > q else ev_small
-                    ev_acc = accumulate_eval_device(ev_acc, ev(
-                        params, batches[bi],
-                        jax.random.fold_in(run_key, 2**30 + epoch),
-                        jnp.asarray(temp)))
+                ek = jax.random.fold_in(run_key, 2**30 + epoch)
+                if use_scan:
+                    ev_acc = ev_scan(params, stacked, ek, jnp.asarray(temp))
+                else:
+                    ev_acc = None
+                    for bi in range(n_batches):
+                        ev = ev_big if valid_e[bi] > q else ev_small
+                        ev_acc = accumulate_eval_device(ev_acc, ev(
+                            params, batches[bi], ek, jnp.asarray(temp)))
                 agg = aggregate_eval([ev_acc])
                 tr_f1, va_f1, te_f1 = (agg["train_f1"], agg["val_f1"],
                                        agg["test_f1"])
@@ -382,12 +437,15 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         # reload best params for the final ensemble eval (main.py:264-270)
         if best_params_bytes is not None:
             params = serialization.from_bytes(params, best_params_bytes)
-        ev_acc = None
-        for bi in range(n_batches):
-            ev = ev_big if valid_e[bi] > q else ev_small
-            ev_acc = accumulate_eval_device(ev_acc, ev(
-                params, batches[bi], jax.random.fold_in(run_key, 2**31 - 1),
-                jnp.asarray(best_temp)))
+        fk = jax.random.fold_in(run_key, 2**31 - 1)
+        if use_scan:
+            ev_acc = ev_scan(params, stacked, fk, jnp.asarray(best_temp))
+        else:
+            ev_acc = None
+            for bi in range(n_batches):
+                ev = ev_big if valid_e[bi] > q else ev_small
+                ev_acc = accumulate_eval_device(ev_acc, ev(
+                    params, batches[bi], fk, jnp.asarray(best_temp)))
         agg = aggregate_eval([ev_acc])
         res.final_train_f1 = agg["train_f1"]
         res.final_val_f1 = agg["val_f1"]

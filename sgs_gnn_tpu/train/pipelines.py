@@ -338,3 +338,54 @@ def make_train_step(cfg: Config, model, opt: DualOptimizer, q: int,
 
     step = learned_step if mode == "learned" else baseline_step
     return jax.jit(step, donate_argnums=(0, 1) if cfg.donate else ())
+
+
+def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
+                         max_epoch: int, n_batches: int):
+    """Whole-epoch train step: lax.scan over STACKED partition batches.
+
+    The sequential driver dispatches one jit call per cluster batch — at
+    Reddit scale that is 100+ host->device round trips per epoch, each
+    paying remote-tunnel dispatch latency and pytree flattening (measured
+    ~2.7 s of a 7.9 s epoch, logs/reddit_scale_tpu.log r4). This step
+    runs the SAME per-batch update (identical per-batch PRNG keys, same
+    shuffled order, one optimizer update per batch — the reference's
+    schedule, main.py:57-67) as a device-side scan: ONE dispatch per
+    epoch.
+
+    Engaged by the driver only when every batch takes the sampled
+    ("big") path and has train nodes (the flagship partitioned
+    workload); mixed fleets keep the per-batch loop. Signature:
+        epoch_step(params, opt_state, stacked, order, epoch, run_key)
+            -> (params, opt_state, (loss_sum, cond_sum, temperature))
+    where ``stacked`` is stack_batches(batches) and ``order`` the
+    epoch's int32 batch permutation.
+    """
+    assert cfg.mode == "learned", "scan epoch serves the learned mode"
+    learned_loss = make_learned_loss(cfg, model, q)
+
+    def epoch_step(params, opt_state, stacked, order, epoch, run_key):
+        t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
+
+        def body(carry, i):
+            params, opt_state, loss_acc, cond_acc = carry
+            bi = order[i]
+            g = jax.tree_util.tree_map(lambda a: a[bi], stacked)
+            # identical key schedule to the per-batch loop
+            # (run/driver.py: fold_in(run_key, epoch*n_batches + bi + 1))
+            k = jax.random.fold_in(run_key,
+                                   epoch * n_batches + bi + 1)
+            (loss, (gate, _, _)), grads = jax.value_and_grad(
+                learned_loss, has_aux=True)(params, g, k)
+            params2, opt_state2 = opt.step_learned(params, grads,
+                                                   opt_state, gate)
+            return (params2, opt_state2, loss_acc + loss,
+                    cond_acc + gate.astype(jnp.float32)), ()
+
+        init = (params, opt_state, jnp.zeros(()), jnp.zeros(()))
+        (params, opt_state, loss_acc, cond_acc), _ = jax.lax.scan(
+            body, init, jnp.arange(n_batches))
+        return params, opt_state, (loss_acc, cond_acc, t)
+
+    return jax.jit(epoch_step,
+                   donate_argnums=(0, 1) if cfg.donate else ())

@@ -14,7 +14,9 @@ def test_native_partitioner_builds_and_balances():
     assert part.shape == (1000,)
     sizes = np.bincount(part, minlength=4)
     assert sizes.min() > 0
-    assert sizes.max() <= int(np.ceil(1000 / 4 * 1.05) + 2)
+    # balance is degree-weighted with a 1.35x node cap (padding cost is
+    # driven by EDGE skew; node skew only pads the cheap x rows)
+    assert sizes.max() <= int(np.ceil(1000 / 4 * 1.35 * 1.02) + 2)
 
 
 def test_native_cut_beats_random():

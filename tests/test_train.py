@@ -396,3 +396,37 @@ def test_reg1_flags_matches_gather_form(rng, pipeline):
                     jax.tree_util.tree_leaves(grads[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_scan_epoch_matches_batch_loop():
+    """The whole-epoch lax.scan driver path (scan_epoch=auto) must follow
+    the per-batch dispatch loop exactly: same per-batch keys, same order,
+    one update per batch -> identical loss trajectory and final F1."""
+    import numpy as np
+    from sgs_gnn_tpu.core import Config
+    from sgs_gnn_tpu.run.driver import run_experiment
+    from sgs_gnn_tpu.data.registry import HostDataset
+    from sgs_gnn_tpu.data import (sbm_graph, to_undirected, edge_homophily,
+                                  degree_prior)
+    x, ei, y, (tr, va, te) = sbm_graph(n=600, num_classes=4, deg=14, h=0.85,
+                                       seed=2)
+    ei = to_undirected(ei)
+    ds = HostDataset(name="scan_parity", x=x, edge_index=ei, y=y,
+                     train_mask=tr, val_mask=va, test_mask=te,
+                     prob=degree_prior(ei[0], ei[1], 600),
+                     num_classes=4, He=edge_homophily(ei, y))
+    base = dict(pipeline="hybrid", mode="learned", nhid=32, epochs=6,
+                metis_threshold=2000, num_partitions=4, save_csv=False,
+                num_samples_eval=2, donate=False, convergence=0.0,
+                log=True)
+    logs = []
+    res_scan = run_experiment(Config(**base, scan_epoch="auto"), ds,
+                              log_fn=lambda *a: logs.append(" ".join(
+                                  str(v) for v in a)))[0]
+    assert any("scan_epoch=on" in ln for ln in logs), logs[:6]
+    res_loop = run_experiment(Config(**base, scan_epoch="off"), ds,
+                              log_fn=lambda *a: None)[0]
+    np.testing.assert_allclose(res_scan.losses, res_loop.losses, rtol=1e-5)
+    np.testing.assert_allclose(res_scan.final_test_f1,
+                               res_loop.final_test_f1, atol=1e-6)
+    assert res_scan.total_updates == res_loop.total_updates
