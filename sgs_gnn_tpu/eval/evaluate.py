@@ -89,13 +89,18 @@ def make_scan_eval_step(cfg: Config, model, q: int, n_batches: int):
     partition batches (companion of train.make_scan_epoch_step): the
     per-batch eval dispatches collapse into a single call returning the
     summed weighted-F1 dict. Key schedule matches the per-batch loop
-    (run/driver.py passes the SAME epoch key to every batch)."""
-    inner = make_eval_step(cfg, model, q)
+    (run/driver.py passes the SAME epoch key to every batch); the
+    per-batch big/small decision (valid edges > q) arrives as
+    ``small_flags`` int32[n_batches] and selects via lax.cond, exactly
+    like the loop's ev_big/ev_small dispatch."""
+    inner_big = make_eval_step(cfg, model, q)
+    inner_small = make_eval_step(cfg, model, q, force_small=True)
 
-    def scan_eval(params, stacked, key, temperature):
+    def scan_eval(params, stacked, small_flags, key, temperature):
         def body(acc, bi):
             g = jax.tree_util.tree_map(lambda a: a[bi], stacked)
-            res = inner(params, g, key, temperature)
+            res = jax.lax.cond(small_flags[bi] > 0, inner_small, inner_big,
+                               params, g, key, temperature)
             return jax.tree_util.tree_map(jnp.add, acc, res), ()
 
         zeros = {f"{s}_{k}": jnp.zeros(())

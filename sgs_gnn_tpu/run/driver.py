@@ -243,28 +243,31 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     # whole-epoch device-side scan (train/pipelines.make_scan_epoch_step):
     # ONE dispatch per epoch instead of one per cluster batch — at 100+
     # batches the per-call dispatch latency dominates the epoch (measured
-    # ~2.7 s of a 7.9 s Reddit-scale epoch). Engaged when every batch takes
-    # the sampled path and has train nodes (the flagship partitioned
-    # workload); mixed fleets keep the per-batch loop, whose two-executable
-    # big/small dispatch cannot live inside one scan body.
+    # ~2.7 s of a 7.9 s Reddit-scale epoch). The per-batch big/small/skip
+    # decision becomes a lax.switch on a static action table.
     use_scan = (cfg.scan_epoch != "off" and cfg.mode == "learned"
-                and n_batches > 1 and all(v > q for v in valid_e)
-                and all(has_train))
+                and n_batches > 1)
     stacked = None
     if use_scan:
         from ..parallel.partitioned import stack_batches
         from ..train.pipelines import make_scan_epoch_step
         from ..eval.evaluate import make_scan_eval_step
+        # 0 = skip (no train nodes), 1 = small (valid <= q), 2 = sampled
+        scan_actions = jnp.asarray(
+            [0 if not has_train[i] else (2 if valid_e[i] > q else 1)
+             for i in range(n_batches)], jnp.int32)
+        eval_small = jnp.asarray(
+            [1 if valid_e[i] <= q else 0 for i in range(n_batches)],
+            jnp.int32)
+        n_trained = int(sum(1 for i in range(n_batches) if has_train[i]))
         stacked = stack_batches(batches)
         g_keep = batches[0]
         # free the per-batch device arrays: the stacked copy is the only
         # consumer from here on (halves peak device memory)
         batches = None
         if cfg.log:
-            log_fn(f"[fastpath] scan_epoch=on ({n_batches} batches/dispatch)")
-    elif cfg.log and cfg.scan_epoch != "off" and n_batches > 1:
-        log_fn("[fastpath] scan_epoch=off (mixed big/small batch fleet or "
-               "train-less partitions)")
+            log_fn(f"[fastpath] scan_epoch=on ({n_batches} batches/dispatch"
+                   f", {n_trained} trained)")
 
     # 'rbg' is the fast TPU-native PRNG; threefry (default) is slower but
     # bitwise-stable across backends — tests use threefry, big runs rbg
@@ -338,11 +341,11 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                 # one dispatch for the whole epoch; identical per-batch
                 # keys/order/updates as the loop below (parity test:
                 # tests/test_train.py::test_scan_epoch_matches_batch_loop)
-                res.total_updates += n_batches
+                res.total_updates += n_trained
                 params, opt_state, (loss_acc, cond_acc, temp_dev) = \
                     epoch_step(params, opt_state, stacked,
                                jnp.asarray(order.astype(np.int32)),
-                               jnp.asarray(epoch), run_key)
+                               scan_actions, jnp.asarray(epoch), run_key)
             else:
                 loss_acc = jnp.zeros(())
                 cond_acc = jnp.zeros(())
@@ -391,7 +394,8 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                 # transfer per eval epoch inside aggregate_eval
                 ek = jax.random.fold_in(run_key, 2**30 + epoch)
                 if use_scan:
-                    ev_acc = ev_scan(params, stacked, ek, jnp.asarray(temp))
+                    ev_acc = ev_scan(params, stacked, eval_small, ek,
+                                     jnp.asarray(temp))
                 else:
                     ev_acc = None
                     for bi in range(n_batches):
@@ -439,7 +443,8 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             params = serialization.from_bytes(params, best_params_bytes)
         fk = jax.random.fold_in(run_key, 2**31 - 1)
         if use_scan:
-            ev_acc = ev_scan(params, stacked, fk, jnp.asarray(best_temp))
+            ev_acc = ev_scan(params, stacked, eval_small, fk,
+                             jnp.asarray(best_temp))
         else:
             ev_acc = None
             for bi in range(n_batches):

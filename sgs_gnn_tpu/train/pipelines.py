@@ -353,10 +353,16 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
     schedule, main.py:57-67) as a device-side scan: ONE dispatch per
     epoch.
 
-    Engaged by the driver only when every batch takes the sampled
-    ("big") path and has train nodes (the flagship partitioned
-    workload); mixed fleets keep the per-batch loop. Signature:
-        epoch_step(params, opt_state, stacked, order, epoch, run_key)
+    Mixed fleets are handled by a per-batch lax.switch over the same
+    three cases the dispatch loop distinguishes on host (``actions``
+    int32[n_batches]): 0 = skip (no train nodes), 1 = small path (valid
+    edges <= q: full-graph CE, gnn-optimizer-only — the reference's
+    dynamic `batch.edge_index.shape[1] > q` branch), 2 = big sampled
+    path. All three branches compile once into the scan body.
+
+    Signature:
+        epoch_step(params, opt_state, stacked, order, actions, epoch,
+                   run_key)
             -> (params, opt_state, (loss_sum, cond_sum, temperature))
     where ``stacked`` is stack_batches(batches) and ``order`` the
     epoch's int32 batch permutation.
@@ -364,7 +370,26 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
     assert cfg.mode == "learned", "scan epoch serves the learned mode"
     learned_loss = make_learned_loss(cfg, model, q)
 
-    def epoch_step(params, opt_state, stacked, order, epoch, run_key):
+    def big_case(params, opt_state, g, k):
+        (loss, (gate, _, _)), grads = jax.value_and_grad(
+            learned_loss, has_aux=True)(params, g, k)
+        params2, opt_state2 = opt.step_learned(params, grads, opt_state,
+                                               gate)
+        return params2, opt_state2, loss, gate.astype(jnp.float32)
+
+    def small_case(params, opt_state, g, k):
+        def ce(p):
+            out = _apply_gnn(model, p, g.x, g.senders, g.receivers, None, k)
+            return masked_cross_entropy(out, g.y, g.train_mask)
+        loss, grads = jax.value_and_grad(ce)(params)
+        params2, opt_state2 = opt.step_gnn_only(params, grads, opt_state)
+        return params2, opt_state2, loss, jnp.zeros(())
+
+    def skip_case(params, opt_state, g, k):
+        return params, opt_state, jnp.zeros(()), jnp.zeros(())
+
+    def epoch_step(params, opt_state, stacked, order, actions, epoch,
+                   run_key):
         t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
 
         def body(carry, i):
@@ -375,12 +400,11 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
             # (run/driver.py: fold_in(run_key, epoch*n_batches + bi + 1))
             k = jax.random.fold_in(run_key,
                                    epoch * n_batches + bi + 1)
-            (loss, (gate, _, _)), grads = jax.value_and_grad(
-                learned_loss, has_aux=True)(params, g, k)
-            params2, opt_state2 = opt.step_learned(params, grads,
-                                                   opt_state, gate)
+            params2, opt_state2, loss, cond = jax.lax.switch(
+                actions[bi], (skip_case, small_case, big_case),
+                params, opt_state, g, k)
             return (params2, opt_state2, loss_acc + loss,
-                    cond_acc + gate.astype(jnp.float32)), ()
+                    cond_acc + cond), ()
 
         init = (params, opt_state, jnp.zeros(()), jnp.zeros(()))
         (params, opt_state, loss_acc, cond_acc), _ = jax.lax.scan(

@@ -430,3 +430,35 @@ def test_scan_epoch_matches_batch_loop():
     np.testing.assert_allclose(res_scan.final_test_f1,
                                res_loop.final_test_f1, atol=1e-6)
     assert res_scan.total_updates == res_loop.total_updates
+
+
+def test_scan_epoch_mixed_fleet_matches_loop():
+    """Mixed big/small fleets: the scan body's lax.switch must reproduce
+    the loop's per-batch big/small dispatch (valid edges vs q)."""
+    import numpy as np
+    from sgs_gnn_tpu.core import Config
+    from sgs_gnn_tpu.run.driver import run_experiment
+    from sgs_gnn_tpu.data.registry import HostDataset
+    from sgs_gnn_tpu.data import (sbm_graph, to_undirected, edge_homophily,
+                                  degree_prior)
+    x, ei, y, (tr, va, te) = sbm_graph(n=500, num_classes=4, deg=10, h=0.8,
+                                       seed=5)
+    ei = to_undirected(ei)
+    ds = HostDataset(name="scan_mixed", x=x, edge_index=ei, y=y,
+                     train_mask=tr, val_mask=va, test_mask=te,
+                     prob=degree_prior(ei[0], ei[1], 500),
+                     num_classes=4, He=edge_homophily(ei, y))
+    # q = 3000*0.2 = 600; with 8 partitions several fall under 600 valid
+    # edges -> small path, others stay big
+    base = dict(pipeline="hybrid", mode="learned", nhid=16, epochs=5,
+                metis_threshold=3000, num_partitions=8, sample_perc=0.2,
+                save_csv=False, num_samples_eval=2, donate=False,
+                convergence=0.0)
+    res_scan = run_experiment(Config(**base, scan_epoch="auto"), ds,
+                              log_fn=lambda *a: None)[0]
+    res_loop = run_experiment(Config(**base, scan_epoch="off"), ds,
+                              log_fn=lambda *a: None)[0]
+    np.testing.assert_allclose(res_scan.losses, res_loop.losses, rtol=1e-5)
+    np.testing.assert_allclose(res_scan.final_test_f1,
+                               res_loop.final_test_f1, atol=1e-6)
+    assert res_scan.total_updates == res_loop.total_updates
