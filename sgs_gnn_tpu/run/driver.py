@@ -368,6 +368,10 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             res.conditional_updates += int(cond_acc)
             res.losses.append(loss)
             epoch_times.append(time.time() - t0)
+            if cfg.stats and cfg.log and epoch < 16:
+                # first epochs separate compile time from steady state
+                log_fn(f"[epoch-time] epoch={epoch} "
+                       f"sec={epoch_times[-1]:.3f}")
 
             if seg_profile is not None:
                 # per-epoch [gpu-profile] line with the reference's four
