@@ -14,7 +14,11 @@ TPU-native deltas: params checkpoint via flax serialization instead of
 torch.save; per-batch steps are pre-compiled jitted functions (one for the
 sampled path, one for the small-batch full path) chosen on host by each
 batch's valid edge count — the jit-friendly version of the reference's
-dynamic `batch.edge_index.shape[1] > q` branch.
+dynamic `batch.edge_index.shape[1] > q` branch. With ``scan_epoch=auto``
+(default) the whole epoch further collapses into ONE device-side lax.scan
+over the stacked batches, the host decision becoming a per-batch
+lax.switch — 117 dispatches/epoch -> 1 at Reddit scale, halving the
+steady-state epoch (PERF.md r4).
 """
 from __future__ import annotations
 
