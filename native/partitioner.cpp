@@ -167,30 +167,51 @@ void greedy_partition(const int32_t* senders, const int32_t* receivers,
   // one partition each until its cap forces a spill; zero-attachment
   // clusters (new communities) seed the least-loaded feasible partition,
   // heaviest first.
+  //
+  // The max-attachment search runs through a lazy-deletion max-heap: every
+  // att increase pushes a fresh (weight, cluster, partition) entry, so the
+  // current maximum is always present; popped entries are discarded when
+  // stale (cluster already placed, weight superseded) or infeasible
+  // (caps only grow, so infeasibility is permanent). A naive rescan is
+  // O(num_cl^2 * num_parts) — fragmented or weakly-community graphs
+  // produce num_cl ~ n clusters and the rescan effectively hangs.
   std::vector<int32_t> cl_part(num_cl, -1);
   // att[c][p]: edge weight from unassigned cluster c into partition p
   std::vector<double> att(static_cast<size_t>(num_cl) * num_parts, 0.0);
+  struct AttEntry {
+    double w;
+    int32_t r;     // cluster's rank in cl_order (heaviest first)
+    int32_t c, p;
+    bool operator<(const AttEntry& o) const {
+      if (w != o.w) return w < o.w;
+      if (r != o.r) return r > o.r;  // ties: heavier cluster first
+      return p > o.p;                // then lower partition id
+    }
+  };
+  std::vector<int32_t> cl_rank(num_cl);
+  for (int32_t i = 0; i < num_cl; ++i) cl_rank[cl_order[i]] = i;
+  std::priority_queue<AttEntry> heap;
+  size_t seed_ptr = 0;  // advancing cursor into cl_order for seeding
   for (int32_t placed = 0; placed < num_cl; ++placed) {
     int32_t best_c = -1, best_p = -1;
-    double best_w = 0.0;
-    for (int32_t c : cl_order) {
-      if (cl_part[c] >= 0) continue;
-      const double* row = &att[static_cast<size_t>(c) * num_parts];
-      for (int32_t p = 0; p < num_parts; ++p) {
-        if (row[p] <= best_w) continue;
-        if (part_deg[p] + static_cast<double>(cl_deg[c]) > cap_deg ||
-            part_size[p] + cl_size[c] > cap_node)
-          continue;
-        best_w = row[p];
-        best_c = c;
-        best_p = p;
-      }
+    while (!heap.empty()) {
+      AttEntry top = heap.top();
+      heap.pop();
+      if (cl_part[top.c] >= 0 ||
+          top.w != att[static_cast<size_t>(top.c) * num_parts + top.p] ||
+          part_deg[top.p] + static_cast<double>(cl_deg[top.c]) > cap_deg ||
+          part_size[top.p] + cl_size[top.c] > cap_node)
+        continue;
+      best_c = top.c;
+      best_p = top.p;
+      break;
     }
     if (best_c < 0) {
       // no positive feasible attachment: seed the heaviest unassigned
       // cluster in the least-loaded feasible partition
-      for (int32_t c : cl_order)
-        if (cl_part[c] < 0) { best_c = c; break; }
+      while (seed_ptr < cl_order.size() && cl_part[cl_order[seed_ptr]] >= 0)
+        ++seed_ptr;
+      best_c = cl_order[seed_ptr];
       double mn = 0.0;
       for (int32_t p = 0; p < num_parts; ++p) {
         bool fits =
@@ -213,9 +234,11 @@ void greedy_partition(const int32_t* senders, const int32_t* receivers,
     part_size[best_p] += cl_size[best_c];
     part_deg[best_p] += static_cast<double>(cl_deg[best_c]);
     for (auto& [d, w] : cadj[best_c])
-      if (cl_part[d] < 0)
-        att[static_cast<size_t>(d) * num_parts + best_p] +=
-            static_cast<double>(w);
+      if (cl_part[d] < 0) {
+        double& a = att[static_cast<size_t>(d) * num_parts + best_p];
+        a += static_cast<double>(w);
+        heap.push({a, cl_rank[d], d, best_p});
+      }
   }
 
   // --- 3. project to nodes ---

@@ -90,6 +90,13 @@ class Config:
     dtype: str = 'float32'        # compute dtype for backbones
     prng_impl: str = 'threefry2x32'  # 'rbg' = fast TPU PRNG for big runs
     approx_topk: bool = False     # approx_max_k sampling (~5x faster at 1M)
+    # bf16 Gumbel keys for the approx top-k reduction (halves its HBM
+    # traffic; ~8-bit mantissa creates ties among the top-q that perturb the
+    # sampling distribution slightly — well inside the approx reduction's
+    # own recall noise). Only engages with approx_topk on a TPU backend;
+    # reported by log_fastpath_status. SGS_TOPK_BF16=off remains an
+    # emergency env kill-switch.
+    topk_bf16: bool = True
     checkpoint_every: int = 0     # save full train state every N epochs
     resume: bool = False          # resume from the latest checkpoint
     debug_checks: bool = False    # validate graph batches at prep time

@@ -14,7 +14,10 @@ downloads the reference relies on are replaced by disk caches):
      SyntheticLarge, Reddit0.x rewiring of any cached Reddit)
   2. `<data_dir>/<name>.npz` — canonical cache: arrays `x`, `edge_index`,
      `y`, optional `train_mask`/`val_mask`/`test_mask` (1-D or [N, S] with
-     split columns)
+     split columns); the OFFICIAL heterophilous-suite raw convention
+     (`node_features`/`node_labels`/`edges`/`*_masks`, the on-disk format
+     of Roman-empire/Tolokers/Minesweeper/Questions/Amazon-ratings) is
+     accepted directly
   3. Planetoid raw files under `<data_dir>/<name>/raw/ind.*` (the classic
      pickled format) for SmallCora/CiteSeer/PubMed
 A missing dataset raises with instructions on where to drop the cache.
@@ -64,6 +67,22 @@ class HostDataset:
 
 def _load_npz(path: str):
     z = np.load(path, allow_pickle=False)
+    if "node_features" in z:
+        # official heterophilous-suite raw convention (roman_empire.npz etc.:
+        # node_features (N,F) / node_labels (N,) / edges (E,2) /
+        # {train,val,test}_masks (10,N)) — loadable as-is, no torch
+        # conversion step. PyG's HeterophilousGraphDataset transposes the
+        # mask matrices to (N,10) (process(): .t()); the reference then
+        # picks split column 2 (reference datasets.py:199-219), which
+        # get_dataset's multi-split pick() reproduces.
+        x = z["node_features"].astype(np.float32)
+        y = z["node_labels"].astype(np.int32).reshape(-1)
+        ei = np.ascontiguousarray(z["edges"].T).astype(np.int32)
+        masks = {}
+        for k in ("train_masks", "val_masks", "test_masks"):
+            if k in z:
+                masks[k[:-1]] = np.ascontiguousarray(z[k].T).astype(bool)
+        return x, ei, y, masks
     ei = z["edge_index"].astype(np.int32)
     y = z["y"].astype(np.int32).reshape(-1)
     if "x" in z:

@@ -50,7 +50,7 @@ def make_eval_step(cfg: Config, model, q: int, force_small: bool = False):
                 idx, w = sample_edges(k, probs, g.prob, q,
                                       cfg.degree_bias_coef, istest=True,
                                       edge_mask=g.edge_mask,
-                                      approx=cfg.approx_topk)
+                                      approx=cfg.approx_topk, bf16=cfg.topk_bf16)
                 return forward(g.senders[idx], g.receivers[idx], w)
 
             logits = jnp.mean(
@@ -58,14 +58,14 @@ def make_eval_step(cfg: Config, model, q: int, force_small: bool = False):
         elif mode == "random":
             def draw(k):
                 idx = random_edges(k, e, q, edge_mask=g.edge_mask,
-                                   approx=cfg.approx_topk)
+                                   approx=cfg.approx_topk, bf16=cfg.topk_bf16)
                 return forward(g.senders[idx], g.receivers[idx], None)
             logits = jnp.mean(
                 jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)
         elif mode == "edge":
             def draw(k):
                 idx = sample_prior_edges(k, g.prob, q, edge_mask=g.edge_mask,
-                                         approx=cfg.approx_topk)
+                                         approx=cfg.approx_topk, bf16=cfg.topk_bf16)
                 return forward(g.senders[idx], g.receivers[idx], None)
             logits = jnp.mean(
                 jax.vmap(draw)(jax.random.split(key, n_draws)), axis=0)

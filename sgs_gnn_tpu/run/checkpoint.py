@@ -26,6 +26,11 @@ class TrainState:
     test_at_best_val: float = 0.0
     best_temperature: float = 0.0
     losses: list = field(default_factory=list)
+    # serialized best-val params (flax bytes). Without this a resumed run
+    # that never beats the restored best_val_f1 would report the final
+    # "loaded best model" eval on the LAST-checkpoint params while claiming
+    # reference best-val semantics (main.py:227-235 persists the best model).
+    best_params_bytes: Optional[bytes] = None
 
 
 def save_checkpoint(path: str, state: TrainState) -> str:
@@ -38,6 +43,7 @@ def save_checkpoint(path: str, state: TrainState) -> str:
         "test_at_best_val": state.test_at_best_val,
         "best_temperature": state.best_temperature,
         "losses": list(state.losses),
+        "best_params_bytes": state.best_params_bytes,
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -62,6 +68,9 @@ def load_checkpoint(path: str, params_template, opt_state_template
         test_at_best_val=float(payload["test_at_best_val"]),
         best_temperature=float(payload["best_temperature"]),
         losses=list(payload["losses"]),
+        # absent in pre-r5 checkpoints -> None (caller falls back to the
+        # restored last-checkpoint params, the old behavior)
+        best_params_bytes=payload.get("best_params_bytes"),
     )
 
 

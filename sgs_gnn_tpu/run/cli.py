@@ -101,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=['threefry2x32', 'rbg'])
     p.add_argument('--approx_topk', type=str2bool, nargs='?', const=True,
                    default=d.approx_topk)
+    p.add_argument('--topk_bf16', type=str2bool, nargs='?', const=True,
+                   default=d.topk_bf16,
+                   help='bf16 Gumbel keys inside approx top-k sampling '
+                        '(TPU only; see Config.topk_bf16)')
     p.add_argument('--checkpoint_every', type=int, default=d.checkpoint_every)
     p.add_argument('--resume', type=str2bool, nargs='?', const=True,
                    default=d.resume)

@@ -96,9 +96,13 @@ def prepare_batches(cfg: Config, ds: HostDataset):
                                method="native")
         # the degree-capped packer may leave some partitions unused
         # (num_parts is a ceiling, like METIS's nparts); drop them so no
-        # empty padded batches are materialized
+        # empty padded batches are materialized. NOT under data_parallel:
+        # run_experiment_parallel rounds num_parts up to a device multiple
+        # and groups batches n_dev at a time for shard_map — compaction
+        # would leave the final group short (empty partitions are harmless
+        # there: all-padding shards contribute zero loss/grads/eval).
         used = np.unique(part)
-        if used.size < num_parts:
+        if used.size < num_parts and cfg.data_parallel != "on":
             remap = np.full(num_parts, -1, np.int32)
             remap[used] = np.arange(used.size, dtype=np.int32)
             part = remap[part]
@@ -200,6 +204,20 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
         fused_s = f"off (N={g0.num_nodes} x F={cfg.nhid} one-hot working " \
                   f"set exceeds the VMEM budget)"
     log_fn(f"[fastpath] fused_sampled_head={fused_s}")
+    # sampling top-k reduction (ops/sampling_ops._select_topk)
+    if not cfg.approx_topk:
+        topk_s = "exact (lax.top_k; --approx_topk engages approx_max_k)"
+    else:
+        if not cfg.topk_bf16:
+            why = "off (--topk_bf16 off)"
+        elif backend != "tpu":
+            why = f"off (backend={backend})"
+        elif os.environ.get("SGS_TOPK_BF16", "on") == "off":
+            why = "off (SGS_TOPK_BF16=off)"
+        else:
+            why = "on"
+        topk_s = f"approx (recall~0.97, bf16_keys={why})"
+    log_fn(f"[fastpath] sampling_topk={topk_s}")
 
 
 def _valid_edges(g: Graph) -> int:
@@ -252,6 +270,10 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     use_scan = (cfg.scan_epoch != "off" and cfg.mode == "learned"
                 and n_batches > 1)
     stacked = None
+    # first batch WITH train nodes: the [gpu-profile] segments time a real
+    # backward on both execution paths (a train-node-free batch would
+    # profile an empty-mask loss)
+    profile_bi = next((i for i in range(n_batches) if has_train[i]), 0)
     if use_scan:
         from ..parallel.partitioned import stack_batches
         from ..train.pipelines import make_scan_epoch_step
@@ -265,7 +287,7 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             jnp.int32)
         n_trained = int(sum(1 for i in range(n_batches) if has_train[i]))
         stacked = stack_batches(batches)
-        g_keep = batches[0]
+        g_keep = batches[profile_bi]
         # free the per-batch device arrays: the stacked copy is the only
         # consumer from here on (halves peak device memory)
         batches = None
@@ -303,8 +325,6 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         if cfg.gpu_profile:
             from ..utils.profiler import make_segment_profiler
             seg_profile = make_segment_profiler(cfg, model, q)
-            profile_bi = next((i for i in range(n_batches)
-                               if has_train[i]), 0)
 
         res = RunResult()
         best_params_bytes = None
@@ -329,7 +349,10 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                 res.test_at_best_val = st.test_at_best_val
                 best_temp = st.best_temperature
                 res.losses = list(st.losses)
-                best_params_bytes = serialization.to_bytes(params)
+                # pre-r5 checkpoints lack the best-val snapshot; fall back
+                # to the restored last-checkpoint params
+                best_params_bytes = (st.best_params_bytes
+                                     or serialization.to_bytes(params))
                 if cfg.log:
                     log_fn(f"resumed run {run} from epoch {start_epoch} "
                            f"(best_val_f1={st.best_val_f1:.4f})")
@@ -436,7 +459,8 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                     params=params, opt_state=opt_state, epoch=epoch,
                     best_val_f1=res.best_val_f1,
                     test_at_best_val=res.test_at_best_val,
-                    best_temperature=best_temp, losses=res.losses))
+                    best_temperature=best_temp, losses=res.losses,
+                    best_params_bytes=best_params_bytes))
 
             if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
                 num_iteration = epoch + 1
@@ -572,6 +596,9 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
     if len(batches) == 1:
         raise ValueError("data_parallel=on needs a partitioned graph; lower "
                          "--metis_threshold or set --num_partitions")
+    assert len(batches) % n_dev == 0, (
+        f"{len(batches)} partition batches do not tile {n_dev} devices — "
+        f"prepare_batches must not compact partitions under data_parallel")
     # q is threshold*perc (reference main.py:50) but the stacked step samples
     # from the padded per-partition edge array — clamp so top_k(k=q) is
     # always valid. Shards whose VALID edge count is <= q sample every real
@@ -645,7 +672,10 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
                 res.test_at_best_val = st.test_at_best_val
                 best_temp = st.best_temperature
                 res.losses = list(st.losses)
-                best_params_bytes = serialization.to_bytes(params)
+                # pre-r5 checkpoints lack the best-val snapshot; fall back
+                # to the restored last-checkpoint params
+                best_params_bytes = (st.best_params_bytes
+                                     or serialization.to_bytes(params))
                 if cfg.log:
                     log_fn(f"resumed run {run} from epoch {start_epoch} "
                            f"(best_val_f1={st.best_val_f1:.4f})")
@@ -710,7 +740,8 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
                     params=params, opt_state=opt_state, epoch=epoch,
                     best_val_f1=res.best_val_f1,
                     test_at_best_val=res.test_at_best_val,
-                    best_temperature=best_temp, losses=res.losses))
+                    best_temperature=best_temp, losses=res.losses,
+                    best_params_bytes=best_params_bytes))
 
             if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
                 num_iteration = epoch + 1
@@ -844,7 +875,10 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
                 res.test_at_best_val = st.test_at_best_val
                 best_temp = st.best_temperature
                 res.losses = list(st.losses)
-                best_params_bytes = serialization.to_bytes(params)
+                # pre-r5 checkpoints lack the best-val snapshot; fall back
+                # to the restored last-checkpoint params
+                best_params_bytes = (st.best_params_bytes
+                                     or serialization.to_bytes(params))
                 if cfg.log:
                     log_fn(f"resumed run {run} from epoch {start_epoch} "
                            f"(best_val_f1={st.best_val_f1:.4f})")
@@ -896,7 +930,8 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
                     params=params, opt_state=opt_state, epoch=epoch,
                     best_val_f1=res.best_val_f1,
                     test_at_best_val=res.test_at_best_val,
-                    best_temperature=best_temp, losses=res.losses))
+                    best_temperature=best_temp, losses=res.losses,
+                    best_params_bytes=best_params_bytes))
 
             if epoch >= 5 and float(np.std(res.losses[-5:])) < cfg.convergence:
                 num_iteration = epoch + 1

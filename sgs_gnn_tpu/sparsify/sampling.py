@@ -39,7 +39,7 @@ def _normalized(edge_probs, edge_mask):
 def sample_edges(key, edge_probs, prior, q: int, degree_bias_coef: float,
                  istest: bool = False,
                  edge_mask: Optional[jax.Array] = None,
-                 approx: bool = False,
+                 approx: bool = False, bf16: bool = True,
                  ) -> Tuple[jax.Array, jax.Array]:
     """Sample q edge indices ~ learned distribution; return (idx, st_weights).
 
@@ -53,7 +53,7 @@ def sample_edges(key, edge_probs, prior, q: int, degree_bias_coef: float,
         prior_ = jnp.where(edge_mask, prior, 0.0) if edge_mask is not None else prior
         samples = (1.0 - degree_bias_coef) * samples + degree_bias_coef * prior_
     idx = gumbel_topk(key, jax.lax.stop_gradient(samples), q, mask=edge_mask,
-                      approx=approx)
+                      approx=approx, bf16=bf16)
     sel = samples[idx]
     straight_through = jax.lax.stop_gradient(1.0 - sel) + sel
     weights = jnp.clip(edge_probs[idx] * straight_through, 0.0, 1.0)
@@ -62,7 +62,7 @@ def sample_edges(key, edge_probs, prior, q: int, degree_bias_coef: float,
 
 def sample_prior_edges(key, prior, q: int,
                        edge_mask: Optional[jax.Array] = None,
-                       approx: bool = False) -> jax.Array:
+                       approx: bool = False, bf16: bool = True) -> jax.Array:
     """Sample q edges ~ softmax(prior) — the reference's 'edge' mode and the
     conditional gate's random subgraph (training_hybrid.py:45-48, 163-166)."""
     if edge_mask is not None:
@@ -70,14 +70,15 @@ def sample_prior_edges(key, prior, q: int,
     else:
         logits = prior
     p = jax.nn.softmax(logits)
-    return gumbel_topk(key, p, q, mask=edge_mask, approx=approx)
+    return gumbel_topk(key, p, q, mask=edge_mask, approx=approx, bf16=bf16)
 
 
 def random_edges(key, num_edges: int, q: int,
                  edge_mask: Optional[jax.Array] = None,
-                 approx: bool = False) -> jax.Array:
+                 approx: bool = False, bf16: bool = True) -> jax.Array:
     """Uniform q-subset (reference random_edge_sampling, sampling.py:159-163)."""
-    return uniform_topk(key, num_edges, q, mask=edge_mask, approx=approx)
+    return uniform_topk(key, num_edges, q, mask=edge_mask, approx=approx,
+                        bf16=bf16)
 
 
 def temperature_at(epoch, max_epoch: int, t_init: float, t_min: float):

@@ -88,7 +88,7 @@ def make_learned_loss(cfg: Config, model, q: int):
             # is passed to edge_prob_mlp whenever conditional or
             # sparse_edge_mlp is on)
             rand_idx = sample_prior_edges(k_rand, g.prob, q, g.edge_mask,
-                                          approx=cfg.approx_topk)
+                                          approx=cfg.approx_topk, bf16=cfg.topk_bf16)
             if g.edge_aux is not None:
                 aux_r = g.edge_aux[rand_idx]      # one packed row gather
                 rand_s, rand_r = aux_r[:, 0], aux_r[:, 1]
@@ -120,7 +120,7 @@ def make_learned_loss(cfg: Config, model, q: int):
             # (no-grad pass: band irrelevant, no backward scatter)
             idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
                                   cfg.degree_bias_coef, edge_mask=g.edge_mask,
-                                  approx=cfg.approx_topk)
+                                  approx=cfg.approx_topk, bf16=cfg.topk_bf16)
             s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             # pass 3: grad-enabled re-score of only the sampled edges; the
             # scorer's encoder propagates on the sampled subgraph
@@ -139,7 +139,7 @@ def make_learned_loss(cfg: Config, model, q: int):
             idx, weights = sample_edges(k_sample, probs_full, g.prob, q,
                                         cfg.degree_bias_coef,
                                         edge_mask=g.edge_mask,
-                                        approx=cfg.approx_topk)
+                                        approx=cfg.approx_topk, bf16=cfg.topk_bf16)
             s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             probs_for_loss = weights
         elif pipeline == "hybrid" and cfg.hybrid_rescore:
@@ -164,7 +164,7 @@ def make_learned_loss(cfg: Config, model, q: int):
                 idx_t, _ = sample_edges(k_sample, probs_tiles, g.tile_prob,
                                         q, cfg.degree_bias_coef,
                                         edge_mask=g.tile_mask,
-                                        approx=cfg.approx_topk)
+                                        approx=cfg.approx_topk, bf16=cfg.topk_bf16)
                 if g.tile_aux is not None:
                     # one packed tile-order aux gather replaces the
                     # tile_perm->senders/receivers/tile_mask gather chain;
@@ -187,7 +187,7 @@ def make_learned_loss(cfg: Config, model, q: int):
                 idx, _ = sample_edges(k_sample, probs_sample, g.prob, q,
                                       cfg.degree_bias_coef,
                                       edge_mask=g.edge_mask,
-                                      approx=cfg.approx_topk)
+                                      approx=cfg.approx_topk, bf16=cfg.topk_bf16)
                 s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             weights = model.apply(p, h, s_s, s_r, False,
                                   cfg.hybrid_checkpoint, 0,
@@ -202,7 +202,7 @@ def make_learned_loss(cfg: Config, model, q: int):
             idx, _ = sample_edges(
                 k_sample, jax.lax.stop_gradient(probs_full), g.prob, q,
                 cfg.degree_bias_coef, edge_mask=g.edge_mask,
-                approx=cfg.approx_topk)
+                approx=cfg.approx_topk, bf16=cfg.topk_bf16)
             s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             # hybrid's trick: differentiable weights are a gather of the
             # SAME tensor used for sampling (training_hybrid.py:86)
@@ -269,11 +269,11 @@ def make_baseline_loss(cfg: Config, model, q: int,
             s_s, s_r = g.senders, g.receivers
         elif mode == "random":
             idx = random_edges(k_sel, e, q, edge_mask=g.edge_mask,
-                               approx=cfg.approx_topk)
+                               approx=cfg.approx_topk, bf16=cfg.topk_bf16)
             s_s, s_r = g.senders[idx], g.receivers[idx]
         elif mode == "edge":
             idx = sample_prior_edges(k_sel, g.prob, q, edge_mask=g.edge_mask,
-                                     approx=cfg.approx_topk)
+                                     approx=cfg.approx_topk, bf16=cfg.topk_bf16)
             s_s, s_r = g.senders[idx], g.receivers[idx]
         else:
             raise ValueError(mode)

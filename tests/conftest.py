@@ -50,8 +50,3 @@ def random_graph(rng, n=50, e=400, f=16, c=4, seed_prior=True):
 @pytest.fixture
 def small_graph(rng):
     return random_graph(rng)
-
-
-def pytest_configure(config):
-    config.addinivalue_line(
-        "markers", "quality: discriminative learned-vs-baseline F1 checks")

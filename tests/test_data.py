@@ -503,3 +503,36 @@ def test_community_sbm_graph_properties():
     # above the mean
     outdeg = np.bincount(ei[0], minlength=n)
     assert outdeg.max() > 5 * outdeg.mean()
+
+
+def test_heterophilous_raw_npz_loader(tmp_path):
+    """The official heterophilous-suite raw npz format (node_features /
+    node_labels / edges / (10,N) mask matrices — the on-disk layout of
+    roman_empire.npz and friends, loaded by the reference via PyG's
+    HeterophilousGraphDataset, reference datasets.py:55-57) resolves through
+    the registry with split-column-2 mask semantics (datasets.py:199-219)."""
+    from sgs_gnn_tpu.data.registry import get_dataset
+    rng = np.random.default_rng(0)
+    n, e, f, c, s = 60, 240, 12, 5, 10
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    labels = rng.integers(0, c, size=n).astype(np.int64)
+    edges = rng.integers(0, n, size=(e, 2)).astype(np.int64)   # (E, 2)!
+    masks = np.zeros((3, s, n), bool)                           # (10, N)!
+    for si in range(s):
+        perm = rng.permutation(n)
+        masks[0, si, perm[: n // 2]] = True
+        masks[1, si, perm[n // 2: 3 * n // 4]] = True
+        masks[2, si, perm[3 * n // 4:]] = True
+    np.savez(tmp_path / "Roman-empire.npz", node_features=feats,
+             node_labels=labels, edges=edges, train_masks=masks[0],
+             val_masks=masks[1], test_masks=masks[2])
+    ds = get_dataset(Config(dataset="Roman-empire",
+                            data_dir=str(tmp_path)))
+    assert ds.num_nodes == n and ds.x.shape == (n, f)
+    assert ds.num_classes == c
+    # undirected symmetrization happened; all original edges present
+    assert ds.num_edges >= e
+    # split column 2 of the transposed (N, 10) matrices
+    np.testing.assert_array_equal(ds.train_mask, masks[0, 2])
+    np.testing.assert_array_equal(ds.val_mask, masks[1, 2])
+    np.testing.assert_array_equal(ds.test_mask, masks[2, 2])

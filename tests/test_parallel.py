@@ -379,3 +379,31 @@ def test_sequential_driver_resume_mid_run(tmp_path):
                          log_fn=lambda *a: None)[0]
     assert len(res.losses) == 6, res.losses
     assert np.isfinite(res.losses).all()
+
+
+def test_resume_restores_best_val_params(tmp_path):
+    """A resume that adds no improving epoch must still report the final
+    'loaded best model' eval on the BEST-VAL params, not the last-checkpoint
+    params (reference best-val semantics, main.py:264-270): the checkpoint
+    carries the best-val snapshot (TrainState.best_params_bytes)."""
+    from sgs_gnn_tpu.run.driver import run_experiment
+    ds = _tiny_ds(seed=13)
+    base = dict(pipeline="hybrid", mode="learned", nhid=16,
+                metis_threshold=200, num_partitions=4, save_csv=False,
+                num_samples_eval=2, donate=False, convergence=0.0,
+                results_dir=str(tmp_path), checkpoint_every=1, seed=13)
+    r1 = run_experiment(Config(**base, epochs=4), ds,
+                        log_fn=lambda *a: None)[0]
+    # the test only discriminates when the best-val epoch is NOT the final
+    # epoch (else last-checkpoint params == best-val params); seed 13 peaks
+    # at epoch 2 of 4
+    vc = np.asarray(r1.val_curve)
+    best_ep = max(i for i, v in enumerate(vc) if v >= vc.max() - 1e-12)
+    assert best_ep < len(vc) - 1, vc
+    # resume with the same epoch budget: the loop body never runs, so the
+    # final eval must reproduce phase 1's best-val result exactly
+    r2 = run_experiment(Config(**base, epochs=4, resume=True), ds,
+                        log_fn=lambda *a: None)[0]
+    assert r2.final_test_f1 == r1.final_test_f1
+    assert r2.final_val_f1 == r1.final_val_f1
+    assert r2.best_val_f1 == r1.best_val_f1
