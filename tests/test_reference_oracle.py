@@ -237,6 +237,26 @@ class TorchOracle:
             self.opt_gnn.step()
         return float(loss), gate
 
+    def loss_and_grads(self, pipeline: str):
+        """Loss + per-param gradients of one reference step (no optimizer
+        update) — the sharp parity instrument: Adam amplifies f32-vs-f64
+        noise on near-zero-gradient coordinates to +/-lr per step (sign
+        flips in g/|g|), so post-update params can only be compared in an
+        lr-wide band; raw gradients compare tightly."""
+        state = {k: v.detach().clone() for k, v in self.P.items()}
+        loss, gate = self.step_learned(pipeline)  # grads populated pre-step
+        grads = {k: (v.grad.detach().clone() if v.grad is not None
+                     else torch.zeros_like(v)) for k, v in self.P.items()}
+        with torch.no_grad():                     # undo the Adam update
+            for k, v in self.P.items():
+                v.copy_(state[k])
+        self.opt_gnn = torch.optim.Adam(
+            [v for k, v in self.P.items() if "gcn" in k], lr=self.cfg.lr)
+        self.opt_edge = torch.optim.Adam(
+            [v for k, v in self.P.items() if "edge_prob_mlp" in k],
+            lr=self.cfg.lr)
+        return loss, gate, grads
+
     def step_baseline(self, mode: str):
         """random/edge modes with a frozen subgraph; full mode
         (training_hybrid.py:149-180): single CE forward + third Adam."""
@@ -277,10 +297,32 @@ def _freeze_sampling(monkeypatch, idx, rand_idx):
     monkeypatch.setattr(pl, "random_edges", lambda *a, **k: idx)
 
 
+NAME_MAP = {
+    "params/gcn1/lin/kernel": "gcn1.weight",
+    "params/gcn1/bias": "gcn1.bias",
+    "params/gcn2/lin/kernel": "gcn2.weight",
+    "params/gcn2/bias": "gcn2.bias",
+    "params/edge_prob_mlp/gcn1/lin/kernel": "edge_prob_mlp.gcn1.weight",
+    "params/edge_prob_mlp/gcn1/bias": "edge_prob_mlp.gcn1.bias",
+    "params/edge_prob_mlp/gcn2/lin/kernel": "edge_prob_mlp.gcn2.weight",
+    "params/edge_prob_mlp/gcn2/bias": "edge_prob_mlp.gcn2.bias",
+    "params/edge_prob_mlp/head/fc1/kernel": "edge_prob_mlp.fc1.weight",
+    "params/edge_prob_mlp/head/fc1/bias": "edge_prob_mlp.fc1.bias",
+    "params/edge_prob_mlp/head/fc2/kernel": "edge_prob_mlp.fc2.weight",
+    "params/edge_prob_mlp/head/fc2/bias": "edge_prob_mlp.fc2.bias",
+}
+
+
+def _flat(tree):
+    return {"/".join(str(getattr(p, "key", p)) for p in path): leaf
+            for path, leaf in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
 def _cfg(pipeline="hybrid", **kw):
+    kw = dict(dict(conditional=True, reg1=True, reg2=True), **kw)
     return Config(pipeline=pipeline, mode="learned", nhid=HID,
-                  drop_rate=0.0, conditional=True, reg1=True, reg2=True,
-                  lr=0.01, donate=False, **kw)
+                  drop_rate=0.0, lr=0.01, donate=False, **kw)
 
 
 def _flax_setup(cfg, g):
@@ -329,8 +371,13 @@ def test_activation_parity():
     ("straight_through", False)])
 def test_trajectory_parity(monkeypatch, pipeline, rescore):
     """5 frozen-sample training steps: loss, gate decision, and parameter
-    trajectories match the torch reference step for every pipeline."""
-    g, idx, rand_idx = _graph(seed=1)
+    trajectories match the torch reference step for every pipeline.
+
+    Seed 4 yields a MIXED gate sequence (both conditional branches execute:
+    the full reg1+reg2 dual-optimizer update AND the random-path
+    gnn-only update), asserted below so the harness cannot silently lose
+    its branch coverage."""
+    g, idx, rand_idx = _graph(seed=4)
     cfg = _cfg(pipeline, hybrid_rescore=rescore)
     model, params = _flax_setup(cfg, g)
     o = TorchOracle(params, cfg, g, idx, rand_idx)
@@ -346,35 +393,65 @@ def test_trajectory_parity(monkeypatch, pipeline, rescore):
                                     jax.random.PRNGKey(100 + ep))
         loss_t, gate_t = o.step_learned(pipeline)
         loss_j = float(m.loss)
-        assert abs(loss_j - loss_t) <= 1e-4 * max(1.0, abs(loss_t)), (
+        # once the edge group has Adam-stepped, params sit in the lr-wide
+        # sign-flip band (see below) and losses inherit ~1e-3 of that
+        assert abs(loss_j - loss_t) <= 2e-3 * max(1.0, abs(loss_t)), (
             f"step {ep}: loss {loss_j} vs oracle {loss_t}")
         gates_j.append(bool(m.conditional_update > 0.5))
         gates_t.append(gate_t)
     assert gates_j == gates_t, (gates_j, gates_t)
+    assert any(gates_j) and not all(gates_j), (
+        f"gate sequence {gates_j} exercises only one conditional branch — "
+        f"pick a fixture seed that mixes them")
 
-    flat = {"/".join(str(getattr(p, "key", p)) for p in path): leaf
-            for path, leaf in jax.tree_util.tree_flatten_with_path(
-                params)[0][0:len(jax.tree_util.tree_leaves(params))]}
-    name_map = {
-        "params/gcn1/lin/kernel": "gcn1.weight",
-        "params/gcn1/bias": "gcn1.bias",
-        "params/gcn2/lin/kernel": "gcn2.weight",
-        "params/gcn2/bias": "gcn2.bias",
-        "params/edge_prob_mlp/gcn1/lin/kernel": "edge_prob_mlp.gcn1.weight",
-        "params/edge_prob_mlp/gcn1/bias": "edge_prob_mlp.gcn1.bias",
-        "params/edge_prob_mlp/gcn2/lin/kernel": "edge_prob_mlp.gcn2.weight",
-        "params/edge_prob_mlp/gcn2/bias": "edge_prob_mlp.gcn2.bias",
-        "params/edge_prob_mlp/head/fc1/kernel": "edge_prob_mlp.fc1.weight",
-        "params/edge_prob_mlp/head/fc1/bias": "edge_prob_mlp.fc1.bias",
-        "params/edge_prob_mlp/head/fc2/kernel": "edge_prob_mlp.fc2.weight",
-        "params/edge_prob_mlp/head/fc2/bias": "edge_prob_mlp.fc2.bias",
-    }
-    assert set(flat) == set(name_map), (set(flat), set(name_map))
-    for jname, tname in name_map.items():
+    flat = _flat(params)
+    assert set(flat) == set(NAME_MAP), (set(flat), set(NAME_MAP))
+    # Adam amplifies f32-vs-f64 noise on near-zero-gradient coordinates to
+    # +/-lr per flipped sign of g/|g| (first-step update ~ -lr*sign(g)), so
+    # post-update params can only be compared within an lr-wide band over 5
+    # steps; gradient-level parity below is the tight check.
+    for jname, tname in NAME_MAP.items():
         np.testing.assert_allclose(
             np.asarray(flat[jname]), o.P[tname].detach().numpy(),
-            rtol=2e-3, atol=2e-4,
+            rtol=1e-3, atol=5 * cfg.lr,
             err_msg=f"{jname} diverged from oracle {tname} after 5 steps")
+
+
+@pytest.mark.parametrize("pipeline,rescore,conditional", [
+    ("hybrid", False, True), ("hybrid", True, True), ("hybrid", False, False),
+    ("two_pass", False, True), ("two_pass", False, False),
+    ("straight_through", False, True), ("straight_through", False, False)])
+def test_gradient_parity(monkeypatch, pipeline, rescore, conditional):
+    """Per-parameter GRADIENT parity of one frozen-sample step against the
+    f64 torch oracle — the tight check (no Adam noise amplification).
+    conditional=True at seed 4 lands in the gate-FAIL branch (random-path
+    CE, zero scorer grads); conditional=False always takes the full
+    reg1+reg2 branch — together both sides of training_hybrid.py:98-141."""
+    g, idx, rand_idx = _graph(seed=4)
+    cfg = _cfg(pipeline, hybrid_rescore=rescore, conditional=conditional)
+    model, params = _flax_setup(cfg, g)
+    o = TorchOracle(params, cfg, g, idx, rand_idx)
+    _freeze_sampling(monkeypatch, idx, rand_idx)
+
+    from sgs_gnn_tpu.train.pipelines import make_learned_loss
+    loss_fn = make_learned_loss(cfg, model, Q)
+    (loss_j, (gate_j, _, _)), grads_j = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, g, jax.random.PRNGKey(0))
+    loss_t, gate_t, grads_t = o.loss_and_grads(pipeline)
+    assert bool(gate_j) == gate_t
+    if conditional:
+        assert not gate_t, "seed 4 must land in the gate-fail branch"
+    assert abs(float(loss_j) - loss_t) <= 1e-5 * max(1.0, abs(loss_t))
+    flat_g = _flat(grads_j)
+    for jname, tname in NAME_MAP.items():
+        gj = np.asarray(flat_g[jname], np.float64)
+        gt = grads_t[tname].numpy()
+        scale = max(np.abs(gt).max(), 1e-3)   # atol floor per tensor
+        np.testing.assert_allclose(
+            gj, gt, rtol=2e-3, atol=2e-5 * scale,
+            err_msg=f"grad {jname} != oracle {tname} "
+                    f"(pipeline={pipeline} rescore={rescore} "
+                    f"conditional={conditional})")
 
 
 def test_baseline_mode_trajectory_parity(monkeypatch):
