@@ -267,8 +267,10 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     # batches the per-call dispatch latency dominates the epoch (measured
     # ~2.7 s of a 7.9 s Reddit-scale epoch). The per-batch big/small/skip
     # decision becomes a lax.switch on a static action table.
-    use_scan = (cfg.scan_epoch != "off" and cfg.mode == "learned"
-                and n_batches > 1)
+    # all modes ride the scan (learned: pipeline loss + gated dual-Adam;
+    # random/edge/full: baseline loss + the third Adam) so baseline-mode
+    # comparisons at 100+ partitions are not unfairly dispatch-bound
+    use_scan = cfg.scan_epoch != "off" and n_batches > 1
     stacked = None
     # first batch WITH train nodes: the [gpu-profile] segments time a real
     # backward on both execution paths (a train-node-free batch would

@@ -356,9 +356,16 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
     Mixed fleets are handled by a per-batch lax.switch over the same
     three cases the dispatch loop distinguishes on host (``actions``
     int32[n_batches]): 0 = skip (no train nodes), 1 = small path (valid
-    edges <= q: full-graph CE, gnn-optimizer-only — the reference's
-    dynamic `batch.edge_index.shape[1] > q` branch), 2 = big sampled
+    edges <= q — the reference's dynamic `batch.edge_index.shape[1] > q`
+    branch: full-graph CE with the gnn optimizer in learned mode, full
+    forward with the third optimizer in baseline modes), 2 = big sampled
     path. All three branches compile once into the scan body.
+
+    Serves EVERY mode: learned runs the pipeline loss + gated dual-Adam;
+    random/edge/full run the single-forward baseline loss + step_all
+    (reference training_hybrid.py:149-180) — so baseline-mode runs at
+    100+ partitions no longer pay the per-batch dispatch tax either
+    (parity: tests/test_train.py::test_scan_epoch_baseline_matches_loop).
 
     Signature:
         epoch_step(params, opt_state, stacked, order, actions, epoch,
@@ -367,23 +374,39 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
     where ``stacked`` is stack_batches(batches) and ``order`` the
     epoch's int32 batch permutation.
     """
-    assert cfg.mode == "learned", "scan epoch serves the learned mode"
-    learned_loss = make_learned_loss(cfg, model, q)
+    if cfg.mode == "learned":
+        learned_loss = make_learned_loss(cfg, model, q)
 
-    def big_case(params, opt_state, g, k):
-        (loss, (gate, _, _)), grads = jax.value_and_grad(
-            learned_loss, has_aux=True)(params, g, k)
-        params2, opt_state2 = opt.step_learned(params, grads, opt_state,
-                                               gate)
-        return params2, opt_state2, loss, gate.astype(jnp.float32)
+        def big_case(params, opt_state, g, k):
+            (loss, (gate, _, _)), grads = jax.value_and_grad(
+                learned_loss, has_aux=True)(params, g, k)
+            params2, opt_state2 = opt.step_learned(params, grads,
+                                                   opt_state, gate)
+            return params2, opt_state2, loss, gate.astype(jnp.float32)
 
-    def small_case(params, opt_state, g, k):
-        def ce(p):
-            out = _apply_gnn(model, p, g.x, g.senders, g.receivers, None, k)
-            return masked_cross_entropy(out, g.y, g.train_mask)
-        loss, grads = jax.value_and_grad(ce)(params)
-        params2, opt_state2 = opt.step_gnn_only(params, grads, opt_state)
-        return params2, opt_state2, loss, jnp.zeros(())
+        def small_case(params, opt_state, g, k):
+            def ce(p):
+                out = _apply_gnn(model, p, g.x, g.senders, g.receivers,
+                                 None, k)
+                return masked_cross_entropy(out, g.y, g.train_mask)
+            loss, grads = jax.value_and_grad(ce)(params)
+            params2, opt_state2 = opt.step_gnn_only(params, grads,
+                                                    opt_state)
+            return params2, opt_state2, loss, jnp.zeros(())
+    else:
+        base_big = make_baseline_loss(cfg, model, q)
+        base_small = make_baseline_loss(cfg, model, q, force_small=True)
+
+        def _baseline_case(loss_fn):
+            def case(params, opt_state, g, k):
+                loss, grads = jax.value_and_grad(loss_fn)(params, g, k)
+                params2, opt_state2 = opt.step_all(params, grads,
+                                                   opt_state)
+                return params2, opt_state2, loss, jnp.zeros(())
+            return case
+
+        big_case = _baseline_case(base_big)
+        small_case = _baseline_case(base_small)
 
     def skip_case(params, opt_state, g, k):
         return params, opt_state, jnp.zeros(()), jnp.zeros(())
