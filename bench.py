@@ -43,7 +43,14 @@ def build_partition(n_nodes=2048, n_edges=1_000_000, feat=602, classes=41,
                        tile_index=True)
 
 
-def main():
+def main(argv=None):
+    import sys
+    argv = sys.argv[1:] if argv is None else argv
+    # --hybrid_checkpoint: apples-to-apples sibling row — the reference's
+    # config has remat ON (BASELINE.md); the default row turns it off
+    # because the v5e has the HBM headroom (and the fused sampled head
+    # recomputes its forward anyway). PERF.md carries both numbers.
+    remat = "--hybrid_checkpoint" in argv
     from sgs_gnn_tpu.utils.compcache import enable as enable_compcache
     enable_compcache()
     import jax
@@ -56,8 +63,7 @@ def main():
     q = 200_000  # metis_threshold 1M * sample_perc 0.2 (reference main.py:50)
     cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
                  sparse_edge_mlp=True, reg1=True, reg2=True,
-                 hybrid_checkpoint=False,  # remat is a memory knob; the v5e has
-                 # the HBM headroom, so skip the backward recompute
+                 hybrid_checkpoint=remat,
                  nhid=256, dtype="bfloat16",
                  prng_impl="rbg", approx_topk=True)
     model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
@@ -94,7 +100,7 @@ def main():
 
     edges_per_s = g.num_edges / dt
     print(json.dumps({
-        "metric": "hybrid_train_edges_per_s",
+        "metric": "hybrid_train_edges_per_s" + ("_remat" if remat else ""),
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 4),

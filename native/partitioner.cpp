@@ -35,9 +35,16 @@ extern "C" {
 
 // senders/receivers: COO edge list (directed; symmetrized internally)
 // part_out: int32[N] partition id per node
-void greedy_partition(const int32_t* senders, const int32_t* receivers,
-                      int64_t num_edges, int32_t num_nodes,
-                      int32_t num_parts, int32_t* part_out) {
+// deg_slack/node_slack: hard-cap multipliers over the perfectly balanced
+// per-partition degree / node count (legacy entry point uses 1.05 / 1.35).
+// Looser caps let whole communities stay in one partition (higher intra
+// fraction) at the cost of edge-count skew — which the driver's padded
+// shape CLASSES absorb (data/partition.py shape_classes), so the skew no
+// longer costs padded compute the way a single global pad shape did.
+void greedy_partition_ex(const int32_t* senders, const int32_t* receivers,
+                         int64_t num_edges, int32_t num_nodes,
+                         int32_t num_parts, double deg_slack,
+                         double node_slack, int32_t* part_out) {
   // build symmetric CSR
   std::vector<int64_t> deg(num_nodes + 1, 0);
   for (int64_t e = 0; e < num_edges; ++e) {
@@ -57,9 +64,9 @@ void greedy_partition(const int32_t* senders, const int32_t* receivers,
   // skew (power-law hubs) directly wastes compute as padding. A node cap
   // (1.35x mean) still bounds partition node counts for the dense route.
   const double total_deg = 2.0 * static_cast<double>(num_edges);
-  const double cap_deg = total_deg / num_parts * 1.05;
+  const double cap_deg = total_deg / num_parts * deg_slack;
   const double cap_node =
-      static_cast<double>(num_nodes) / num_parts * 1.35 + 1.0;
+      static_cast<double>(num_nodes) / num_parts * node_slack + 1.0;
   std::vector<double> part_deg(num_parts, 0.0);
   std::vector<int64_t> part_size(num_parts, 0);
   std::vector<int64_t> nbr_count(num_parts, 0);
@@ -278,6 +285,13 @@ void greedy_partition(const int32_t* senders, const int32_t* receivers,
     }
     if (moves * 1000 < num_nodes) break;
   }
+}
+
+void greedy_partition(const int32_t* senders, const int32_t* receivers,
+                      int64_t num_edges, int32_t num_nodes,
+                      int32_t num_parts, int32_t* part_out) {
+  greedy_partition_ex(senders, receivers, num_edges, num_nodes, num_parts,
+                      1.05, 1.35, part_out);
 }
 
 // cut quality metric: number of edges crossing partitions

@@ -125,6 +125,14 @@ class Config:
     # whole-epoch device-side scan over stacked cluster batches: one
     # dispatch per epoch instead of one per batch (run/driver.py use_scan)
     scan_epoch: str = 'auto'
+    # padded edge-shape classes for partition batches (data/partition.py
+    # shape_class_targets): 1 = every batch pads to the global max edge
+    # count (one executable); k>1 groups partitions into up to k padded
+    # shapes, each compiled separately — recovers the padded-slot waste of
+    # skewed partitions (valid/padded 0.84 -> ~0.97 on the Reddit-scale
+    # workload). Forced to 1 under data_parallel (shard_map stacks need one
+    # uniform shape).
+    shape_classes: int = 3
     num_partitions: int = 0       # 0 = auto from metis_threshold (main.py:41-54)
     mesh_shape: Optional[tuple] = None  # device mesh for partition parallelism
     donate: bool = True
@@ -205,6 +213,8 @@ class Config:
               f"dense_threshold={self.dense_threshold} must be > 0")
         check(self.num_partitions >= 0,
               f"num_partitions={self.num_partitions} must be >= 0")
+        check(1 <= self.shape_classes <= 16,
+              f"shape_classes={self.shape_classes} not in [1, 16]")
         check(self.seed >= 0, f"seed={self.seed} must be >= 0")
         check(not self.multihost or self.num_processes >= 1,
               f"num_processes={self.num_processes} must be >= 1")

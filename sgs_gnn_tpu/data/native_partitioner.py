@@ -39,6 +39,12 @@ def _load():
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32)]
     lib.greedy_partition.restype = None
+    lib.greedy_partition_ex.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.greedy_partition_ex.restype = None
     lib.count_cut_edges.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
@@ -52,14 +58,24 @@ def _ptr(a):
 
 
 def greedy_partition(edge_index: np.ndarray, num_nodes: int,
-                     num_parts: int) -> np.ndarray:
-    """LDG streaming partition + refinement; returns int32[N] part ids."""
+                     num_parts: int, deg_slack: float = 1.10,
+                     node_slack: float = 1.35) -> np.ndarray:
+    """Multilevel partition + refinement; returns int32[N] part ids.
+
+    deg_slack/node_slack are the hard-cap multipliers over perfect balance
+    (native/partitioner.cpp greedy_partition_ex): looser degree caps keep
+    communities whole (higher intra-edge fraction) at the cost of
+    edge-count skew, which the driver's padded shape classes absorb.
+    Sweep on the Reddit-scale workload (117 parts, 82%-local graph):
+    1.05 -> intra 0.638; 1.10 -> 0.665 (best); 1.20 -> 0.647; 1.35 ->
+    0.594 — so 1.10 is the default."""
     lib = _load()
     s = np.ascontiguousarray(edge_index[0], np.int32)
     r = np.ascontiguousarray(edge_index[1], np.int32)
     out = np.empty(num_nodes, np.int32)
-    lib.greedy_partition(_ptr(s), _ptr(r), np.int64(s.shape[0]),
-                         np.int32(num_nodes), np.int32(num_parts), _ptr(out))
+    lib.greedy_partition_ex(_ptr(s), _ptr(r), np.int64(s.shape[0]),
+                            np.int32(num_nodes), np.int32(num_parts),
+                            float(deg_slack), float(node_slack), _ptr(out))
     return out
 
 

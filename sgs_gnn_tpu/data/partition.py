@@ -63,17 +63,62 @@ def partition_nodes(edge_index: np.ndarray, num_nodes: int, num_parts: int,
     return part
 
 
+def shape_class_targets(counts, k: int) -> List[int]:
+    """Per-partition padded edge targets using at most ``k`` shape classes.
+
+    One global pad shape makes every batch pay the MAX partition's compute
+    (valid/padded 0.84 measured on the Reddit-scale workload); classing the
+    padded shapes recovers most of that at the cost of k compiled
+    executables instead of one. Boundaries minimize sum(class_size *
+    class_max) exactly (O(m^2) over the sorted counts — m is the partition
+    count, a few hundred at most)."""
+    m = len(counts)
+    k = max(1, min(k, m))
+    order = np.argsort(counts)[::-1]
+    c = np.asarray(counts)[order]
+    # dp[j][i] = min padded total for the first i partitions with j classes
+    INF = float("inf")
+    dp = np.full((k + 1, m + 1), INF)
+    cut = np.zeros((k + 1, m + 1), np.int64)
+    dp[0][0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(1, m + 1):
+            for b in range(j - 1, i):      # previous boundary
+                v = dp[j - 1][b] + float(c[b]) * (i - b)
+                if v < dp[j][i]:
+                    dp[j][i] = v
+                    cut[j][i] = b
+    # recover boundaries at the best class count <= k
+    jbest = int(np.argmin([dp[j][m] for j in range(1, k + 1)])) + 1
+    bounds = []
+    i = m
+    for j in range(jbest, 0, -1):
+        bounds.append(int(cut[j][i]))
+        i = bounds[-1]
+    bounds = bounds[::-1] + [m]
+    targets = np.zeros(m, np.int64)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        targets[order[a:b]] = c[a]
+    return [int(t) for t in targets]
+
+
 def induced_subgraphs(x, edge_index, y, train_mask, val_mask, test_mask,
                       part: np.ndarray, num_parts: int,
                       pad: bool = True, prior: str = "degree",
                       prior_probs: Optional[np.ndarray] = None,
-                      tile_index: bool = False) -> List[Graph]:
+                      tile_index: bool = False,
+                      shape_classes: int = 1) -> List[Graph]:
     """Materialize one Graph per partition: induced subgraph, relabeled
     nodes, inter-cluster edges dropped (ClusterData semantics). With
-    pad=True all batches share the max node/edge shape, so the jitted step
-    compiles once. The sampling prior is recomputed per batch from the
-    batch's own edges — matching the reference, whose `batch.prob` is
-    permuted/sliced per cluster by ClusterLoader."""
+    pad=True batches share static shapes so jitted steps compile once per
+    shape: ``shape_classes=1`` pads every batch to the global max edge
+    count; >1 groups partitions into up to that many padded edge-shape
+    classes (shape_class_targets) — the driver runs one scan per class.
+    Node counts always pad to the global max (feature rows dominate
+    neither compute nor memory at cluster scale). The sampling prior is
+    recomputed per batch from the batch's own edges — matching the
+    reference, whose `batch.prob` is permuted/sliced per cluster by
+    ClusterLoader."""
     s_all, r_all = edge_index
     same_part = part[s_all] == part[r_all]
     out = []
@@ -86,7 +131,8 @@ def induced_subgraphs(x, edge_index, y, train_mask, val_mask, test_mask,
         in_p = same_part & (part[s_all] == p)
         per_part_edges.append(np.where(in_p)[0])
         counts_e.append(len(per_part_edges[-1]))
-    max_e = max(counts_e)
+    pad_targets = shape_class_targets(counts_e, shape_classes) if pad \
+        else [None] * num_parts
 
     for p in range(num_parts):
         nodes = np.where(part == p)[0]
@@ -118,17 +164,26 @@ def induced_subgraphs(x, edge_index, y, train_mask, val_mask, test_mask,
             te = np.concatenate([te, np.zeros(pad_n, bool)])
         g = Graph.build(xb, np.stack([s, r]), yb, tr, va, te, prob=pb,
                         num_classes=int(y.max()) + 1,
-                        pad_edges_to=max_e if pad else None,
+                        pad_edges_to=pad_targets[p],
                         pad_edge_node=max_n - 1 if pad else 0,
                         sort_by_receiver=True,
                         tile_index=tile_index)
         out.append(g)
     # receiver_band is static under jit: unify to the max so every
-    # (equal-shape) partition shares one compiled step executable
+    # equal-shape partition shares one compiled step executable (a common
+    # band across classes keeps the kernel variants identical too)
     max_band = max(g.receiver_band for g in out)
     out = [g.replace(receiver_band=max_band) for g in out]
     if tile_index:
-        out = unify_tile_shapes(out)
+        # unify tile slot counts WITHIN each padded-edge class (graphs of
+        # one class must stack; classes compile separately anyway)
+        by_cls = {}
+        for i, g in enumerate(out):
+            by_cls.setdefault(int(g.senders.shape[0]), []).append(i)
+        for idxs in by_cls.values():
+            unified = unify_tile_shapes([out[i] for i in idxs])
+            for i, g in zip(idxs, unified):
+                out[i] = g
     return out
 
 

@@ -84,7 +84,7 @@ def make_eval_step(cfg: Config, model, q: int, force_small: bool = False):
     return jax.jit(eval_step)
 
 
-def make_scan_eval_step(cfg: Config, model, q: int, n_batches: int):
+def make_scan_eval_step(cfg: Config, model, q: int):
     """Whole-fleet ensemble eval as ONE device-side lax.scan over stacked
     partition batches (companion of train.make_scan_epoch_step): the
     per-batch eval dispatches collapse into a single call returning the
@@ -106,7 +106,8 @@ def make_scan_eval_step(cfg: Config, model, q: int, n_batches: int):
         zeros = {f"{s}_{k}": jnp.zeros(())
                  for s in ("train", "val", "test")
                  for k in ("f1_weighted", "count")}
-        acc, _ = jax.lax.scan(body, zeros, jnp.arange(n_batches))
+        acc, _ = jax.lax.scan(body, zeros,
+                              jnp.arange(small_flags.shape[0]))
         return acc
 
     return jax.jit(scan_eval)

@@ -121,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='densify per-step subgraphs into (N,N) adjacencies '
                         '(MXU matmuls instead of gather/scatter)')
     p.add_argument('--dense_threshold', type=int, default=d.dense_threshold)
+    p.add_argument('--shape_classes', type=int, default=d.shape_classes,
+                   help='padded edge-shape classes for partition batches '
+                        '(1 = single global pad shape)')
     p.add_argument('--scan_epoch', type=str, default=d.scan_epoch,
                    help="'auto' runs whole epochs as one device-side scan "
                         "over stacked cluster batches when eligible; 'off' "

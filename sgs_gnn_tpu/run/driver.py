@@ -107,9 +107,14 @@ def prepare_batches(cfg: Config, ds: HostDataset):
             remap[used] = np.arange(used.size, dtype=np.int32)
             part = remap[part]
             num_parts = int(used.size)
+        # data_parallel stacks n_dev batches per shard_map group, which
+        # needs ONE uniform padded shape; the sequential/scan driver can
+        # class the padded shapes (data/partition.py shape_class_targets)
+        classes = 1 if cfg.data_parallel == "on" else cfg.shape_classes
         batches = induced_subgraphs(ds.x, ds.edge_index, ds.y, ds.train_mask,
                                     ds.val_mask, ds.test_mask, part,
-                                    num_parts, tile_index=tiles)
+                                    num_parts, tile_index=tiles,
+                                    shape_classes=classes)
     else:
         q = int(e * cfg.sample_perc)
         batches = [Graph.build(ds.x, ds.edge_index, ds.y, ds.train_mask,
@@ -271,7 +276,14 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
     # random/edge/full: baseline loss + the third Adam) so baseline-mode
     # comparisons at 100+ partitions are not unfairly dispatch-bound
     use_scan = cfg.scan_epoch != "off" and n_batches > 1
-    stacked = None
+    # padded shape classes (data/partition.py shape_class_targets): batches
+    # padded to the same edge shape stack (and scan) together; each class
+    # compiles its own executable. With shape_classes=1 this is one class.
+    shape_of = [int(np.asarray(b.senders).shape[0]) for b in batches]
+    class_shapes = sorted(set(shape_of), reverse=True)
+    class_members = [[i for i in range(n_batches) if shape_of[i] == cs]
+                     for cs in class_shapes]
+    scans = None
     # first batch WITH train nodes: the [gpu-profile] segments time a real
     # backward on both execution paths (a train-node-free batch would
     # profile an empty-mask loss)
@@ -281,21 +293,26 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         from ..train.pipelines import make_scan_epoch_step
         from ..eval.evaluate import make_scan_eval_step
         # 0 = skip (no train nodes), 1 = small (valid <= q), 2 = sampled
-        scan_actions = jnp.asarray(
-            [0 if not has_train[i] else (2 if valid_e[i] > q else 1)
-             for i in range(n_batches)], jnp.int32)
-        eval_small = jnp.asarray(
-            [1 if valid_e[i] <= q else 0 for i in range(n_batches)],
-            jnp.int32)
+        scans = []
+        for mem in class_members:
+            scans.append(dict(
+                stacked=stack_batches([batches[i] for i in mem]),
+                actions=jnp.asarray(
+                    [0 if not has_train[i] else (2 if valid_e[i] > q else 1)
+                     for i in mem], jnp.int32),
+                eval_small=jnp.asarray(
+                    [1 if valid_e[i] <= q else 0 for i in mem], jnp.int32),
+                gids=jnp.asarray(mem, jnp.int32)))
         n_trained = int(sum(1 for i in range(n_batches) if has_train[i]))
-        stacked = stack_batches(batches)
         g_keep = batches[profile_bi]
-        # free the per-batch device arrays: the stacked copy is the only
-        # consumer from here on (halves peak device memory)
+        # free the per-batch device arrays: the stacked copies are the only
+        # consumers from here on (halves peak device memory)
         batches = None
         if cfg.log:
-            log_fn(f"[fastpath] scan_epoch=on ({n_batches} batches/dispatch"
-                   f", {n_trained} trained)")
+            log_fn(f"[fastpath] scan_epoch=on ({n_batches} batches/"
+                   f"{len(scans)} dispatches, {n_trained} trained, "
+                   f"shape_classes={[len(m) for m in class_members]} "
+                   f"x edges={class_shapes})")
 
     # 'rbg' is the fast TPU-native PRNG; threefry (default) is slower but
     # bitwise-stable across backends — tests use threefry, big runs rbg
@@ -316,7 +333,7 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
         if use_scan:
             epoch_step = make_scan_epoch_step(cfg, model, opt, q,
                                               cfg.epochs, n_batches)
-            ev_scan = make_scan_eval_step(cfg, model, q, n_batches)
+            ev_scan = make_scan_eval_step(cfg, model, q)
         else:
             step_big = make_train_step(cfg, model, opt, q, cfg.epochs)
             step_small = make_train_step(cfg, model, opt, q, cfg.epochs,
@@ -361,21 +378,43 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
 
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
-            order = shuffle_rng.permutation(n_batches)
+            # class-major shuffle: shuffle the class visit sequence, then
+            # each class's batches — IDENTICAL on the scan and loop paths,
+            # and with one shape class it degenerates to the plain global
+            # shuffle of before. Per-batch PRNG keys depend only on the
+            # GLOBAL batch id, so classing never changes a batch's noise.
+            if len(class_members) > 1:
+                class_seq = [int(c) for c in
+                             shuffle_rng.permutation(len(class_members))]
+            else:
+                class_seq = [0]
+            local_orders = {ci: shuffle_rng.permutation(
+                len(class_members[ci])) for ci in class_seq}
             # accumulate loss/metrics ON DEVICE; one host readback per epoch
             # (the reference blocks on loss.item() every batch,
             # training_hybrid.py:186 — at Reddit scale that is 115 blocking
             # device->host syncs per epoch)
             if use_scan:
-                # one dispatch for the whole epoch; identical per-batch
-                # keys/order/updates as the loop below (parity test:
+                # one dispatch per shape class per epoch; identical
+                # per-batch keys/order/updates as the loop below (parity:
                 # tests/test_train.py::test_scan_epoch_matches_batch_loop)
                 res.total_updates += n_trained
-                params, opt_state, (loss_acc, cond_acc, temp_dev) = \
-                    epoch_step(params, opt_state, stacked,
-                               jnp.asarray(order.astype(np.int32)),
-                               scan_actions, jnp.asarray(epoch), run_key)
+                loss_acc = jnp.zeros(())
+                cond_acc = jnp.zeros(())
+                temp_dev = jnp.ones(())
+                for ci in class_seq:
+                    sc = scans[ci]
+                    params, opt_state, (l_acc, c_acc, temp_dev) = \
+                        epoch_step(params, opt_state, sc["stacked"],
+                                   jnp.asarray(local_orders[ci].astype(
+                                       np.int32)),
+                                   sc["actions"], sc["gids"],
+                                   jnp.asarray(epoch), run_key)
+                    loss_acc = loss_acc + l_acc
+                    cond_acc = cond_acc + c_acc
             else:
+                order = [class_members[ci][j] for ci in class_seq
+                         for j in local_orders[ci]]
                 loss_acc = jnp.zeros(())
                 cond_acc = jnp.zeros(())
                 temp_dev = jnp.ones(())
@@ -419,16 +458,19 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
                 seg_s = " ".join(f"{k}_ms={v:.2f}" for k, v in segs.items())
                 mb_s = " ".join(f"{k}_mb={v:.1f}" for k, v in seg_mb.items())
                 log_fn(f"[gpu-profile] epoch={epoch} "
-                       f"step_time_ms={epoch_times[-1]/max(len(order),1)*1e3:.2f} "
-                       f"batches={len(order)} {seg_s} {mb_s} {mem_s}")
+                       f"step_time_ms={epoch_times[-1]/max(n_batches,1)*1e3:.2f} "
+                       f"batches={n_batches} {seg_s} {mb_s} {mem_s}")
 
             if cfg.eval:
                 # device-side accumulation across partitions; ONE host
                 # transfer per eval epoch inside aggregate_eval
                 ek = jax.random.fold_in(run_key, 2**30 + epoch)
                 if use_scan:
-                    ev_acc = ev_scan(params, stacked, eval_small, ek,
-                                     jnp.asarray(temp))
+                    ev_acc = None
+                    for sc in scans:
+                        ev_acc = accumulate_eval_device(ev_acc, ev_scan(
+                            params, sc["stacked"], sc["eval_small"], ek,
+                            jnp.asarray(temp)))
                 else:
                     ev_acc = None
                     for bi in range(n_batches):
@@ -477,8 +519,11 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             params = serialization.from_bytes(params, best_params_bytes)
         fk = jax.random.fold_in(run_key, 2**31 - 1)
         if use_scan:
-            ev_acc = ev_scan(params, stacked, eval_small, fk,
-                             jnp.asarray(best_temp))
+            ev_acc = None
+            for sc in scans:
+                ev_acc = accumulate_eval_device(ev_acc, ev_scan(
+                    params, sc["stacked"], sc["eval_small"], fk,
+                    jnp.asarray(best_temp)))
         else:
             ev_acc = None
             for bi in range(n_batches):

@@ -367,17 +367,30 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
     100+ partitions no longer pay the per-batch dispatch tax either
     (parity: tests/test_train.py::test_scan_epoch_baseline_matches_loop).
 
+    Shape classes (data/partition.py shape_classes): the driver may pad
+    partitions to 2-3 shape classes instead of one global max and run one
+    scan PER CLASS per epoch. ``stacked``/``order``/``actions`` are then
+    class-local, and ``gids`` maps local slots to GLOBAL batch ids so the
+    per-batch PRNG key schedule (fold_in(run_key, epoch*n_batches+gid+1))
+    is identical however batches are classed.
+
     Signature:
-        epoch_step(params, opt_state, stacked, order, actions, epoch,
-                   run_key)
+        epoch_step(params, opt_state, stacked, order, actions, gids,
+                   epoch, run_key)
             -> (params, opt_state, (loss_sum, cond_sum, temperature))
-    where ``stacked`` is stack_batches(batches) and ``order`` the
-    epoch's int32 batch permutation.
+    where ``stacked`` is stack_batches(batches-of-one-class), ``order``
+    the epoch's int32 local permutation, and ``gids`` the local->global
+    batch id map (arange(n_batches) when unclassed).
     """
     if cfg.mode == "learned":
-        learned_loss = make_learned_loss(cfg, model, q)
 
         def big_case(params, opt_state, g, k):
+            # q clamped to the class's padded edge count at trace time: a
+            # shape class padded BELOW q holds only small/skip batches, so
+            # its big branch is dead — but lax.switch still traces it, and
+            # top_k(k=q) over fewer keys would fail the trace
+            learned_loss = make_learned_loss(cfg, model,
+                                             min(q, g.senders.shape[0]))
             (loss, (gate, _, _)), grads = jax.value_and_grad(
                 learned_loss, has_aux=True)(params, g, k)
             params2, opt_state2 = opt.step_learned(params, grads,
@@ -411,8 +424,8 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
     def skip_case(params, opt_state, g, k):
         return params, opt_state, jnp.zeros(()), jnp.zeros(())
 
-    def epoch_step(params, opt_state, stacked, order, actions, epoch,
-                   run_key):
+    def epoch_step(params, opt_state, stacked, order, actions, gids,
+                   epoch, run_key):
         t = temperature_at(epoch, max_epoch, cfg.t_init, cfg.t_min)
 
         def body(carry, i):
@@ -420,9 +433,9 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
             bi = order[i]
             g = jax.tree_util.tree_map(lambda a: a[bi], stacked)
             # identical key schedule to the per-batch loop
-            # (run/driver.py: fold_in(run_key, epoch*n_batches + bi + 1))
+            # (run/driver.py: fold_in(run_key, epoch*n_batches + gid + 1))
             k = jax.random.fold_in(run_key,
-                                   epoch * n_batches + bi + 1)
+                                   epoch * n_batches + gids[bi] + 1)
             params2, opt_state2, loss, cond = jax.lax.switch(
                 actions[bi], (skip_case, small_case, big_case),
                 params, opt_state, g, k)
@@ -431,7 +444,7 @@ def make_scan_epoch_step(cfg: Config, model, opt: DualOptimizer, q: int,
 
         init = (params, opt_state, jnp.zeros(()), jnp.zeros(()))
         (params, opt_state, loss_acc, cond_acc), _ = jax.lax.scan(
-            body, init, jnp.arange(n_batches))
+            body, init, jnp.arange(order.shape[0]))
         return params, opt_state, (loss_acc, cond_acc, t)
 
     return jax.jit(epoch_step,

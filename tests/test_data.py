@@ -536,3 +536,49 @@ def test_heterophilous_raw_npz_loader(tmp_path):
     np.testing.assert_array_equal(ds.train_mask, masks[0, 2])
     np.testing.assert_array_equal(ds.val_mask, masks[1, 2])
     np.testing.assert_array_equal(ds.test_mask, masks[2, 2])
+
+
+def test_shape_class_targets():
+    """Padded-shape class boundaries minimize total padded slots and
+    assign each partition its class max."""
+    from sgs_gnn_tpu.data.partition import shape_class_targets
+    counts = [100, 95, 60, 58, 10]
+    t1 = shape_class_targets(counts, 1)
+    assert t1 == [100] * 5
+    t3 = shape_class_targets(counts, 3)
+    assert all(t >= c for t, c in zip(t3, counts))
+    # optimal 3-class split: {100,95}->100, {60,58}->60, {10}->10
+    assert t3 == [100, 100, 60, 60, 10]
+    # never worse than fewer classes
+    assert sum(t3) <= sum(shape_class_targets(counts, 2)) <= sum(t1)
+    # k >= m degenerates to exact (no padding)
+    assert shape_class_targets(counts, 10) == counts
+
+
+def test_induced_subgraphs_shape_classes():
+    """shape_classes>1 pads per class; same valid content as global pad."""
+    from sgs_gnn_tpu.data.partition import (partition_nodes,
+                                            induced_subgraphs)
+    from sgs_gnn_tpu.data.synthetic import sbm_graph
+    from sgs_gnn_tpu.data import to_undirected
+    x, ei, y, (tr, va, te) = sbm_graph(n=400, num_classes=4, deg=8, h=0.8,
+                                       seed=9)
+    ei = to_undirected(ei)
+    part = partition_nodes(ei, 400, 6, method="native")
+    g1 = induced_subgraphs(x, ei, y, tr, va, te, part, 6, shape_classes=1)
+    g3 = induced_subgraphs(x, ei, y, tr, va, te, part, 6, shape_classes=3)
+    shapes1 = {int(g.senders.shape[0]) for g in g1}
+    shapes3 = {int(g.senders.shape[0]) for g in g3}
+    assert len(shapes1) == 1
+    assert 1 < len(shapes3) <= 3
+    total1 = sum(int(g.senders.shape[0]) for g in g1)
+    total3 = sum(int(g.senders.shape[0]) for g in g3)
+    assert total3 < total1       # padding actually shrank
+    for a, b in zip(g1, g3):
+        ma = np.asarray(a.edge_mask)
+        mb = np.asarray(b.edge_mask)
+        assert ma.sum() == mb.sum()     # same valid edges
+        np.testing.assert_array_equal(np.asarray(a.senders)[ma],
+                                      np.asarray(b.senders)[mb])
+        np.testing.assert_array_equal(np.asarray(a.receivers)[ma],
+                                      np.asarray(b.receivers)[mb])

@@ -382,28 +382,65 @@ def test_sequential_driver_resume_mid_run(tmp_path):
 
 
 def test_resume_restores_best_val_params(tmp_path):
-    """A resume that adds no improving epoch must still report the final
-    'loaded best model' eval on the BEST-VAL params, not the last-checkpoint
-    params (reference best-val semantics, main.py:264-270): the checkpoint
-    carries the best-val snapshot (TrainState.best_params_bytes)."""
-    from sgs_gnn_tpu.run.driver import run_experiment
-    ds = _tiny_ds(seed=13)
-    base = dict(pipeline="hybrid", mode="learned", nhid=16,
-                metis_threshold=200, num_partitions=4, save_csv=False,
-                num_samples_eval=2, donate=False, convergence=0.0,
-                results_dir=str(tmp_path), checkpoint_every=1, seed=13)
-    r1 = run_experiment(Config(**base, epochs=4), ds,
-                        log_fn=lambda *a: None)[0]
-    # the test only discriminates when the best-val epoch is NOT the final
-    # epoch (else last-checkpoint params == best-val params); seed 13 peaks
-    # at epoch 2 of 4
-    vc = np.asarray(r1.val_curve)
-    best_ep = max(i for i, v in enumerate(vc) if v >= vc.max() - 1e-12)
-    assert best_ep < len(vc) - 1, vc
-    # resume with the same epoch budget: the loop body never runs, so the
-    # final eval must reproduce phase 1's best-val result exactly
-    r2 = run_experiment(Config(**base, epochs=4, resume=True), ds,
-                        log_fn=lambda *a: None)[0]
-    assert r2.final_test_f1 == r1.final_test_f1
-    assert r2.final_val_f1 == r1.final_val_f1
-    assert r2.best_val_f1 == r1.best_val_f1
+    """A resume that adds no epochs must report the final 'loaded best
+    model' eval on the BEST-VAL params persisted in the checkpoint
+    (TrainState.best_params_bytes), not the last-checkpoint params —
+    reference best-val semantics (main.py:264-270). Deterministic
+    construction: a checkpoint whose best-val snapshot (params_a) differs
+    from its last params (params_b); the resumed run's final F1 must equal
+    a direct eval of params_a and differ from params_b's."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from sgs_gnn_tpu.run.driver import run_experiment, prepare_batches
+    from sgs_gnn_tpu.run.checkpoint import TrainState, save_checkpoint
+    from sgs_gnn_tpu.models import get_model, init_params
+    from sgs_gnn_tpu.train import DualOptimizer
+    from sgs_gnn_tpu.eval import (make_eval_step, aggregate_eval,
+                                  accumulate_eval_device)
+
+    ds = _tiny_ds(seed=5)
+    cfg = Config(pipeline="hybrid", mode="learned", nhid=16,
+                 metis_threshold=200, num_partitions=4, save_csv=False,
+                 num_samples_eval=2, donate=False, convergence=0.0,
+                 results_dir=str(tmp_path), checkpoint_every=1,
+                 scan_epoch="off", epochs=3, resume=True)
+    batches, q = prepare_batches(cfg, ds)
+    model = get_model(cfg.GNN, batches[0].x.shape[1], cfg.nhid,
+                      ds.num_classes, cfg.drop_rate, cfg.edge_mlp_type)
+    g0 = batches[0]
+    params_a = init_params(model, jax.random.PRNGKey(cfg.seed * 1000),
+                           g0.x, g0.senders, g0.receivers)
+    params_b = init_params(model, jax.random.PRNGKey(777), g0.x,
+                           g0.senders, g0.receivers)
+    opt = DualOptimizer.create(params_a, cfg.GNN, cfg.lr, cfg.weight_decay)
+
+    def driver_final_eval(params, temp):
+        # replicate run_experiment's final ensemble eval key/path exactly
+        run_key = jax.random.fold_in(
+            jax.random.key(cfg.seed, impl=cfg.prng_impl), 1)
+        fk = jax.random.fold_in(run_key, 2**31 - 1)
+        ev_big = make_eval_step(cfg, model, q)
+        ev_small = make_eval_step(cfg, model, q, force_small=True)
+        acc = None
+        for g in batches:
+            valid = int(np.asarray(g.edge_mask).sum())
+            ev = ev_big if valid > q else ev_small
+            acc = accumulate_eval_device(acc, ev(params, g, fk,
+                                                 jnp.asarray(temp)))
+        return aggregate_eval([acc])["test_f1"]
+
+    f1_a = driver_final_eval(params_a, 0.63)
+    f1_b = driver_final_eval(params_b, 0.63)
+    assert f1_a != f1_b, "fixture degenerate: pick different inits"
+
+    ckpt = tmp_path / "ckpt" / (
+        f"{cfg.dataset}_{cfg.mode}_{cfg.pipeline}_run0.pkl")
+    save_checkpoint(str(ckpt), TrainState(
+        params=params_b, opt_state=opt.init(params_b),
+        epoch=cfg.epochs - 1,              # resume -> zero epochs left
+        best_val_f1=0.99, test_at_best_val=f1_a, best_temperature=0.63,
+        losses=[1.0] * cfg.epochs,
+        best_params_bytes=serialization.to_bytes(params_a)))
+    res = run_experiment(cfg, ds, log_fn=lambda *a: None)[0]
+    assert res.final_test_f1 == f1_a, (res.final_test_f1, f1_a, f1_b)
