@@ -141,12 +141,14 @@ class _EdgeScorer(nn.Module):
             return self.head(exchange(h)[senders], h[receivers],
                              deterministic).squeeze(-1)
         from ..ops.score_sampled import (score_head_sampled,
-                                         use_fused_sampled_head)
-        if receiver_band == 0 and use_fused_sampled_head(
-                h.shape[0], h.shape[1], self.hidden_dim):
+                                         fused_head_block)
+        blk = fused_head_block(h.shape[0], h.shape[1], self.hidden_dim) \
+            if receiver_band == 0 else None
+        if blk is not None:
             # Fused sampled-edge head kernel (ops/score_sampled.py): the
             # indices are dynamic/unsorted (no banded scatter applies), so
-            # gather + head + dh scatter ride one VMEM-resident kernel.
+            # gather + head + dh scatter ride one VMEM-resident kernel;
+            # blk is the largest edge block whose working set fits VMEM.
             # Its backward recomputes the forward, subsuming `use_remat`.
             rate = 0.0 if deterministic else self.head.dropout_prob
             seed = 0
@@ -156,7 +158,7 @@ class _EdgeScorer(nn.Module):
             return score_head_sampled(
                 h.astype(self.dtype), self.head.fc1.kernel,
                 self.head.fc1.bias, self.head.fc2.kernel, self.head.fc2.bias,
-                senders, receivers, drop_rate=rate, seed=seed)
+                senders, receivers, drop_rate=rate, seed=seed, block=blk)
 
         def score(h_):
             return self.head(gather_rows(h_, senders),

@@ -55,34 +55,47 @@ def _round_up(x, m):
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def use_fused_sampled_head(n: int, f: int, k: int, block: int = 512) -> bool:
-    """Engage the fused kernel?  TPU backend, MXU-aligned head widths, and
-    the BACKWARD pass's working set — the peak of the two — within the VMEM
-    budget: two one-hot panels, the h table + f32 dh accumulator, the
-    activation buffers, plus the dW1a/dW1b f32 accumulators and the
-    hu/hv-residual and dp blocks the backward keeps resident.  The 14MB
-    budget leaves ~2MB of the 16MB scoped-vmem limit as headroom (the
-    bench config N=2048/F=K=256 models at 13.6MB and compiles/runs on v5e).
-    ``SGS_FUSED_HEAD=off|on`` overrides the auto decision (A/B escape
-    hatch; `on` still requires TPU + fit)."""
+def fused_head_block(n: int, f: int, k: int):
+    """Largest edge-block size whose working set fits VMEM, or None.
+
+    TPU backend, MXU-aligned head widths, and the BACKWARD pass's working
+    set — the peak of the two — within the VMEM budget: two one-hot
+    panels, the h table + f32 dh accumulator, the activation buffers, plus
+    the dW1a/dW1b f32 accumulators and the hu/hv-residual and dp blocks
+    the backward keeps resident.  The 14MB budget leaves ~2MB of the 16MB
+    scoped-vmem limit as headroom (the bench config N=2048/F=K=256 models
+    at 13.6MB at block=512 and compiles/runs on v5e).  When block=512 does
+    not fit (e.g. the Reddit-scale N=2312 partitions after the r5
+    cap-slack retune), smaller blocks are tried — the one-hot FLOPs per
+    edge are block-independent (N*F*2), only panel memory and grid length
+    change.  ``SGS_FUSED_HEAD=off|on`` overrides the auto decision (A/B
+    escape hatch; `on` still requires TPU + fit)."""
     import os
     from ..core.fastpath import pallas_enabled
     override = os.environ.get("SGS_FUSED_HEAD", "auto").lower()
     if override == "off" or not pallas_enabled():
-        return False
+        return None
     if jax.default_backend() != "tpu":
-        return False
+        return None
     if f % 128 != 0 or k % 128 != 0:
-        return False
+        return None
     n_pad = _round_up(max(n, 8), 8)
-    onehots = 2 * n_pad * block * 2
-    tables = n_pad * f * (2 + 4)          # h (bf16) + dh accumulator (f32)
-    buffers = 8 * block * max(f, k) * 4
-    weights = 2 * f * k * 2 + 2 * k * 4 + f * 4   # W1a/W1b bf16 + b1/w2/b2
-    bwd_acc = 2 * f * k * 4                       # dW1a/dW1b f32
-    bwd_blocks = 3 * block * max(f, k) * 4        # hu, hv residuals + dp
-    return (onehots + tables + buffers + weights + bwd_acc
-            + bwd_blocks <= _VMEM_BUDGET)
+    for block in (512, 256, 128):
+        onehots = 2 * n_pad * block * 2
+        tables = n_pad * f * (2 + 4)      # h (bf16) + dh accumulator (f32)
+        buffers = 8 * block * max(f, k) * 4
+        weights = 2 * f * k * 2 + 2 * k * 4 + f * 4  # W1a/W1b + b1/w2/b2
+        bwd_acc = 2 * f * k * 4                      # dW1a/dW1b f32
+        bwd_blocks = 3 * block * max(f, k) * 4       # hu, hv residuals + dp
+        if (onehots + tables + buffers + weights + bwd_acc
+                + bwd_blocks <= _VMEM_BUDGET):
+            return block
+    return None
+
+
+def use_fused_sampled_head(n: int, f: int, k: int, block: int = 512) -> bool:
+    """Back-compat boolean gate (see fused_head_block)."""
+    return fused_head_block(n, f, k) is not None
 
 
 def _dropout_consts(drop_rate: float):

@@ -194,7 +194,8 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
     # fused sampled-edge score head (ops/score_sampled.py): serves every
     # score_from call with unsorted indices (receiver_band == 0) — the
     # hybrid fast path's gradient head and the non-tile sampling pass
-    from ..ops.score_sampled import use_fused_sampled_head
+    from ..ops.score_sampled import fused_head_block
+    fused_blk = fused_head_block(g0.num_nodes, cfg.nhid, cfg.nhid)
     if cfg.mode != "learned":
         fused_s = "off (learned mode only)"
     elif backend != "tpu":
@@ -202,12 +203,12 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
     elif cfg.nhid % 128 != 0:
         fused_s = f"off (nhid={cfg.nhid} not a multiple of 128: head " \
                   f"widths must be MXU-aligned)"
-    elif use_fused_sampled_head(g0.num_nodes, cfg.nhid, cfg.nhid):
-        fused_s = f"on (N={g0.num_nodes}: gather+head+scatter fused, " \
-                  f"h VMEM-resident)"
+    elif fused_blk is not None:
+        fused_s = f"on (N={g0.num_nodes}, block={fused_blk}: " \
+                  f"gather+head+scatter fused, h VMEM-resident)"
     else:
         fused_s = f"off (N={g0.num_nodes} x F={cfg.nhid} one-hot working " \
-                  f"set exceeds the VMEM budget)"
+                  f"set exceeds the VMEM budget at every block size)"
     log_fn(f"[fastpath] fused_sampled_head={fused_s}")
     # sampling top-k reduction (ops/sampling_ops._select_topk)
     if not cfg.approx_topk:

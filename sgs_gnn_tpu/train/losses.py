@@ -31,6 +31,39 @@ def micro_f1(logits, labels, mask):
     return jnp.sum(hit * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+@jax.custom_vjp
+def _bce_clamped(p, labels):
+    """Binary cross-entropy with torch.F.binary_cross_entropy's exact
+    saturation semantics — forward clamps each log term at -100, backward
+    divides by max(p*(1-p), 1e-12) (aten's binary_cross_entropy_backward)
+    — so a sigmoid saturated to EXACTLY 0 or 1 in f32 (large logits,
+    observed on high-variance 602-dim features) contributes a finite 100
+    with a large-but-finite gradient.
+
+    Needs a custom VJP: autodiff of any log-based form leaks NaN at p=0
+    (the 0-cotangent of a clamp still multiplies log's 1/p=inf), and a
+    clip floor must not be SUBNORMAL in f32 — the previous 1e-38 floor was
+    flushed to zero by XLA (FTZ), so log(p) reached -inf and one saturated
+    edge NaN'd the whole step's gradients through the conditional gate's
+    0-cotangent jnp.where."""
+    log_p = jnp.maximum(jnp.log(p), -100.0)
+    log_1p = jnp.maximum(jnp.log(1.0 - p), -100.0)
+    return -(labels * log_p + (1.0 - labels) * log_1p)
+
+
+def _bce_clamped_fwd(p, labels):
+    return _bce_clamped(p, labels), (p, labels)
+
+
+def _bce_clamped_bwd(res, g):
+    p, labels = res
+    dp = g * (p - labels) / jnp.maximum(p * (1.0 - p), 1e-12)
+    return dp, jnp.zeros_like(labels)
+
+
+_bce_clamped.defvjp(_bce_clamped_fwd, _bce_clamped_bwd)
+
+
 def assortative_bce(edge_probs, sampled_senders, sampled_receivers, y,
                     train_mask):
     """reg1 — homophily BCE over sampled train-train edges
@@ -48,14 +81,7 @@ def assortative_bce(edge_probs, sampled_senders, sampled_receivers, y,
     both_train = train_mask[sampled_senders] & train_mask[sampled_receivers]
     same = (y[sampled_senders] == y[sampled_receivers])
     labels = same.astype(edge_probs.dtype)
-    # torch.binary_cross_entropy clamps log terms so a sigmoid saturated to
-    # exactly 0/1 in f32 stays finite. Clip p itself so every intermediate
-    # (value AND derivative) is finite — an inf anywhere would leak NaN
-    # through the conditional gate's 0-cotangent jnp.where branch. Bounds:
-    # log(1e-38) ~ -87.5 (near torch's -100 clamp); 1 - 1e-7 is the largest
-    # f32 strictly below 1.
-    p = jnp.clip(edge_probs, 1e-38, 1.0 - 1e-7)
-    bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    bce = _bce_clamped(edge_probs, labels)
     valid = both_train.astype(edge_probs.dtype)
     mean_bce = jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     n_pos = jnp.sum(labels * valid)
@@ -69,8 +95,7 @@ def assortative_bce_flags(edge_probs, flags):
     by one packed aux-row gather done by the caller."""
     both_train = (flags & 1) > 0
     labels = ((flags >> 1) & 1).astype(edge_probs.dtype)
-    p = jnp.clip(edge_probs, 1e-38, 1.0 - 1e-7)
-    bce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    bce = _bce_clamped(edge_probs, labels)
     valid = both_train.astype(edge_probs.dtype)
     mean_bce = jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     n_pos = jnp.sum(labels * valid)

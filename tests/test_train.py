@@ -499,3 +499,31 @@ def test_scan_epoch_baseline_matches_loop():
                                    res_loop.final_test_f1, atol=1e-6,
                                    err_msg=mode)
         assert res_scan.total_updates == res_loop.total_updates
+
+
+def test_reg1_saturated_probs_finite():
+    """A sigmoid saturated to EXACTLY 0 or 1 in f32 must yield a finite
+    reg1 value and finite gradients (torch BCE clamps log terms at -100).
+    Regression: the former clip floor 1e-38 is subnormal in f32 and XLA
+    flushes it to zero, so one saturated edge NaN'd the whole step."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+    from sgs_gnn_tpu.train.losses import assortative_bce_flags
+
+    p = jnp.asarray([0.0, 1.0, 0.5, 1.0, 0.0], jnp.float32)
+    #          label  1    0    1    1    0    (all both-train)
+    flags = jnp.asarray([0b111, 0b101, 0b111, 0b111, 0b101], jnp.int32)
+    v, g = jax.value_and_grad(
+        lambda pp: assortative_bce_flags(pp, flags))(p)
+    assert np.isfinite(float(v)), v
+    assert np.isfinite(np.asarray(g)).all(), g
+    # torch oracle: same clamp semantics
+    tp = torch.tensor([0.0, 1.0, 0.5, 1.0, 0.0], requires_grad=True)
+    tl = torch.tensor([1.0, 0.0, 1.0, 1.0, 0.0])
+    tv = F.binary_cross_entropy(tp, tl)
+    tv.backward()
+    np.testing.assert_allclose(float(v), float(tv), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), tp.grad.numpy(), rtol=1e-5,
+                               atol=1e-7)
