@@ -20,6 +20,7 @@ DATASETS = [
     'Karate',
     # new in this framework: synthetic fixtures usable without downloads
     'SyntheticSBM', 'SyntheticLarge', 'SyntheticSBMLow', 'SyntheticReddit',
+    'SyntheticRedditLow',
 ]
 
 GNNS = ['GCN', 'GIN', 'GAT', 'Cheb']

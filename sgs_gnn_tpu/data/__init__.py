@@ -4,7 +4,8 @@ from .priors import degree_prior, er_prior, effective_resistance_exact, \
     effective_resistance_rw
 from .synthetic import (sbm_graph, moon_graph, karate_club,
                         rewire_to_homophily, reddit_style_subsample,
-                        community_sbm_graph)
+                        community_sbm_graph,
+                        community_sbm_low_graph)
 from .transforms import (to_undirected, adj_svd_features,
                          train_val_test_masks, edge_homophily,
                          node_homophily, assortativity)

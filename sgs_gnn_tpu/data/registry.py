@@ -35,7 +35,8 @@ from ..core.config import Config
 from .priors import degree_prior, er_prior
 from .synthetic import (sbm_graph, moon_graph, karate_club,
                         rewire_to_homophily, random_masks,
-                        reddit_style_subsample, community_sbm_graph)
+                        reddit_style_subsample, community_sbm_graph,
+                        community_sbm_low_graph)
 from .transforms import (to_undirected, is_undirected, adj_svd_features,
                          train_val_test_masks, edge_homophily)
 
@@ -162,6 +163,14 @@ def _load_raw(cfg: Config, name: str):
         # classes, community structure so the partitioner retains most
         # edges (reference logs/memory_Reddit_hybrid.log:3-4)
         x, ei, y, (tr, va, te) = community_sbm_graph(seed=cfg.seed)
+        return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
+    if name == "SyntheticRedditLow":
+        # Reddit-SCALE discriminative fixture: SyntheticSBMLow's regime
+        # (edge homophily ~ chance, clean labels, noisy features — the
+        # graph the sparsifier exists for) at 233k nodes / ~116M directed
+        # edges, with community locality so the partitioner retains most
+        # edges (data/synthetic.community_sbm_low_graph)
+        x, ei, y, (tr, va, te) = community_sbm_low_graph(seed=cfg.seed)
         return x, ei, y, {"train_mask": tr, "val_mask": va, "test_mask": te}
     if name == "SyntheticSBMLow":
         # discriminative low-homophily fixture (VERDICT r3 #5): He ~= 0.19

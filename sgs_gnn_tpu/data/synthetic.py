@@ -203,3 +203,57 @@ def reddit_style_subsample(senders, receivers, y, keep: float, h: float,
     n_keep = int(len(senders) * keep)
     sel = np.sort(order[:n_keep])
     return senders[sel], receivers[sel]
+
+
+def community_sbm_low_graph(n: int = 232_965, num_classes: int = 5,
+                            communities: int = 128, deg: int = 330,
+                            p_local: float = 0.85, edge_h: float = 0.2,
+                            feat_dim: int = 602, feat_noise: float = 8.0,
+                            train: float = 0.66, seed: int = 0):
+    """The SyntheticSBMLow recipe at Reddit scale, with partitionable
+    locality: labels are UNIFORM (clean class identity, unlike
+    community_sbm_graph's noisy community-majority labels), community
+    structure keeps p_local of edges inside contiguous communities (so the
+    partitioner retains most edges, like METIS on the real Reddit), and
+    every edge's target class is the sender's class with prob ``edge_h``
+    (else a random other class). With edge_h ~= 1/num_classes the edge set
+    is uninformative in aggregate — full-graph propagation destroys the
+    (noisy) feature signal — while the same-class minority is there for a
+    supervised sparsifier to find: the regime the method exists for
+    (reference README.md:3-5; the 2k-node fixture is sbm_graph(h=0.2)).
+
+    Fully vectorized via contiguous (community, class) target pools: one
+    bulk draw for all ~77M raw edges, seconds not minutes."""
+    rng = np.random.default_rng(seed)
+    comm = (np.arange(n, dtype=np.int64) * communities // n).astype(np.int32)
+    y = rng.integers(0, num_classes, n).astype(np.int32)
+    # contiguous (community, class) pools: order groups node ids
+    key = comm.astype(np.int64) * num_classes + y
+    order = np.argsort(key, kind="stable")
+    counts = np.bincount(key, minlength=communities * num_classes)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    e = n * deg
+    w = rng.pareto(1.5, n) + 1.0
+    senders = rng.choice(n, e, p=w / w.sum()).astype(np.int32)
+    local = rng.random(e) < p_local
+    same = rng.random(e) < edge_h
+    tcls = np.where(same, y[senders],
+                    (y[senders] + rng.integers(1, num_classes, e))
+                    % num_classes).astype(np.int64)
+    tcomm = np.where(local, comm[senders],
+                     rng.integers(0, communities, e)).astype(np.int64)
+    pool = tcomm * num_classes + tcls
+    psize = counts[pool]
+    u = (rng.random(e) * np.maximum(psize, 1)).astype(np.int64)
+    receivers = order[starts[pool]
+                      + np.minimum(u, np.maximum(psize - 1, 0))]
+    ok = (psize > 0) & (senders != receivers)
+    ei = np.stack([senders[ok].astype(np.int32),
+                   receivers[ok].astype(np.int32)])
+
+    centers = rng.normal(size=(num_classes, feat_dim))
+    x = (centers[y] + feat_noise * rng.normal(size=(n, feat_dim))
+         ).astype(np.float32)
+    masks = random_masks(n, train, (1 - train) / 2, rng)
+    return x, ei, y, masks

@@ -582,3 +582,29 @@ def test_induced_subgraphs_shape_classes():
                                       np.asarray(b.senders)[mb])
         np.testing.assert_array_equal(np.asarray(a.receivers)[ma],
                                       np.asarray(b.receivers)[mb])
+
+
+def test_community_sbm_low_graph_properties():
+    """Reddit-scale discriminative fixture generator: clean uniform labels,
+    edge homophily ~= edge_h ~= chance (1/C), community locality high
+    enough for the partitioner (VERDICT r4 #2: a low-homophily variant
+    where learned-vs-random separation is possible AT SCALE)."""
+    from sgs_gnn_tpu.data.synthetic import community_sbm_low_graph
+    n, communities = 6000, 24
+    x, ei, y, (tr, va, te) = community_sbm_low_graph(
+        n=n, num_classes=5, communities=communities, deg=20, edge_h=0.2,
+        p_local=0.85, feat_dim=64, feat_noise=4.0, seed=0)
+    assert x.shape == (n, 64) and y.shape == (n,)
+    assert ei.min() >= 0 and ei.max() < n
+    assert not (ei[0] == ei[1]).any()
+    # labels uniform: every class well represented
+    cls_counts = np.bincount(y, minlength=5)
+    assert cls_counts.min() > n / 10
+    # edge homophily ~ edge_h (chance level for C=5)
+    he = float(np.mean(y[ei[0]] == y[ei[1]]))
+    assert 0.15 < he < 0.25, he
+    # community locality ~= p_local (partitioner watermark)
+    comm = (np.arange(n, dtype=np.int64) * communities // n)
+    loc = float(np.mean(comm[ei[0]] == comm[ei[1]]))
+    assert loc > 0.75, loc
+    assert tr.sum() + va.sum() + te.sum() == n
