@@ -51,6 +51,8 @@ def main(argv=None):
     # because the v5e has the HBM headroom (and the fused sampled head
     # recomputes its forward anyway). PERF.md carries both numbers.
     remat = "--hybrid_checkpoint" in argv
+    # --sorted_head_off: A/B escape hatch for the r5 sorted-head fast path
+    sorted_head = "off" if "--sorted_head_off" in argv else "auto"
     from sgs_gnn_tpu.utils.compcache import enable as enable_compcache
     enable_compcache()
     import jax
@@ -63,7 +65,7 @@ def main(argv=None):
     q = 200_000  # metis_threshold 1M * sample_perc 0.2 (reference main.py:50)
     cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
                  sparse_edge_mlp=True, reg1=True, reg2=True,
-                 hybrid_checkpoint=remat,
+                 hybrid_checkpoint=remat, sorted_head=sorted_head,
                  nhid=256, dtype="bfloat16",
                  prng_impl="rbg", approx_topk=True)
     model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,

@@ -126,6 +126,13 @@ class Config:
     # whole-epoch device-side scan over stacked cluster batches: one
     # dispatch per epoch instead of one per batch (run/driver.py use_scan)
     scan_epoch: str = 'auto'
+    # r5 sorted-head fast path: sort the q sampled indices on device so the
+    # fused sampled-edge head (ops/score_sampled.py) runs its near-sorted
+    # endpoint's one-hot select/scatter banded ((band, B) panels instead of
+    # (N, B)); a per-step in-graph coverage check falls back to the full
+    # kernel on pathological samples. 'auto' = sort whenever the hybrid
+    # fast path runs; 'off' = keep sampler order (A/B escape hatch).
+    sorted_head: str = 'auto'
     # padded edge-shape classes for partition batches (data/partition.py
     # shape_class_targets): 1 = every batch pads to the global max edge
     # count (one executable); k>1 groups partitions into up to k padded
@@ -206,6 +213,8 @@ class Config:
               f"checkpoint_every={self.checkpoint_every} must be >= 0")
         check(self.dense_subgraph in ("auto", "on", "off"),
               f"dense_subgraph={self.dense_subgraph!r} must be auto|on|off")
+        check(self.sorted_head in ("auto", "off"),
+              f"sorted_head={self.sorted_head!r} must be auto|off")
         check(self.tile_index in ("auto", "on", "off"),
               f"tile_index={self.tile_index!r} must be auto|on|off")
         check(self.scan_epoch in ("auto", "off"),

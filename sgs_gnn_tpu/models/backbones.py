@@ -55,11 +55,13 @@ class _Backbone(nn.Module):
     def score_from_embeddings(self, h, senders, receivers,
                               deterministic: bool = True,
                               use_remat: bool = False,
-                              receiver_band: int = 0, exchange=None):
+                              receiver_band: int = 0, exchange=None,
+                              sorted_side: str = ""):
         """Score head only, over precomputed scorer embeddings."""
         return self.edge_prob_mlp.score_from(h, senders, receivers,
                                              deterministic, use_remat,
-                                             receiver_band, exchange)
+                                             receiver_band, exchange,
+                                             sorted_side)
 
     def score_tiles_from_embeddings(self, h, tile_ls, tile_lr, tile_su,
                                     tile_rv, t: int, bk: int,

@@ -134,7 +134,7 @@ class _EdgeScorer(nn.Module):
 
     def score_from(self, h, senders, receivers, deterministic: bool = True,
                    use_remat: bool = False, receiver_band: int = 0,
-                   exchange=None):
+                   exchange=None, sorted_side: str = ""):
         if exchange is not None:
             # halo (parallel/halo_train.py): boundary sender embeddings ride
             # the ring; receivers are local rows
@@ -145,11 +145,13 @@ class _EdgeScorer(nn.Module):
         blk = fused_head_block(h.shape[0], h.shape[1], self.hidden_dim) \
             if receiver_band == 0 else None
         if blk is not None:
-            # Fused sampled-edge head kernel (ops/score_sampled.py): the
-            # indices are dynamic/unsorted (no banded scatter applies), so
-            # gather + head + dh scatter ride one VMEM-resident kernel;
-            # blk is the largest edge block whose working set fits VMEM.
-            # Its backward recomputes the forward, subsuming `use_remat`.
+            # Fused sampled-edge head kernel (ops/score_sampled.py): gather
+            # + head + dh scatter ride one VMEM-resident kernel; blk is the
+            # largest edge block whose working set fits VMEM. Its backward
+            # recomputes the forward, subsuming `use_remat`. When the
+            # caller sampled in sorted order (r5 sorted-head fast path,
+            # train/pipelines.py), `sorted_side` names the near-sorted
+            # endpoint and that side's one-hot ops run banded.
             rate = 0.0 if deterministic else self.head.dropout_prob
             seed = 0
             if rate > 0.0:
@@ -158,7 +160,8 @@ class _EdgeScorer(nn.Module):
             return score_head_sampled(
                 h.astype(self.dtype), self.head.fc1.kernel,
                 self.head.fc1.bias, self.head.fc2.kernel, self.head.fc2.bias,
-                senders, receivers, drop_rate=rate, seed=seed, block=blk)
+                senders, receivers, drop_rate=rate, seed=seed, block=blk,
+                sorted_side=sorted_side)
 
         def score(h_):
             return self.head(gather_rows(h_, senders),
@@ -178,7 +181,8 @@ class _EdgeScorer(nn.Module):
                  use_remat: bool = False, score_receiver_band: int = 0):
         h = self.encode(x, prop_senders, prop_receivers, deterministic)
         return self.score_from(h, score_senders, score_receivers,
-                               deterministic, use_remat, score_receiver_band)
+                               deterministic, use_remat,
+                               score_receiver_band)
 
 
 class EdgeProbMLP(_EdgeScorer):

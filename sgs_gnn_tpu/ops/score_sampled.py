@@ -112,20 +112,34 @@ def _onehot(ids, n, dtype):
 _DN0 = (((0,), (0,)), ((), ()))      # contract dim0 x dim0
 
 
-def _make_fwd_kernel(bk: int, k: int, drop_rate: float):
+def _make_fwd_kernel(bk: int, k: int, drop_rate: float, band: int = 0):
+    """Forward kernel. ``band`` > 0 = the sid side is near-sorted and a
+    per-block band start is supplied (starts_ref, SMEM): the sid one-hot
+    shrinks from (Np, B) to (band, B) and selects from a dynamic band slice
+    of h — the r5 sorted-head fast path (PERF.md). Out-of-band sids match
+    no one-hot row and are silently dropped, so callers must dispatch to
+    the band=0 kernel whenever the step's measured span exceeds ``band``
+    (_fwd_call's lax.cond does exactly that)."""
     keep, thresh = _dropout_consts(drop_rate)
 
-    def kernel(seed_ref, sid_ref, rid_ref, h_ref, w1a_ref, w1b_ref, b1_ref,
-               w2_ref, b2_ref, out_ref, hu_ref, hv_ref):
+    def kernel(starts_ref, seed_ref, sid_ref, rid_ref, h_ref, w1a_ref,
+               w1b_ref, b1_ref, w2_ref, b2_ref, out_ref, hu_ref, hv_ref):
         i = pl.program_id(0)
         sid = sid_ref[0, 0, :]                    # (B,) int32
         rid = rid_ref[0, 0, :]
         h = h_ref[:]                              # (Np, F)
         n = h.shape[0]
-        ohs = _onehot(sid, n, h.dtype)            # (Np, B)
+        if band > 0:
+            start = pl.multiple_of(starts_ref[i, 0], 8)
+            hb = h_ref[pl.ds(start, band), :]     # (band, F)
+            ohs = _onehot(sid - start, band, h.dtype)
+            hu = jax.lax.dot_general(ohs, hb, _DN0,
+                                     preferred_element_type=jnp.float32)
+        else:
+            ohs = _onehot(sid, n, h.dtype)        # (Np, B)
+            hu = jax.lax.dot_general(ohs, h, _DN0,
+                                     preferred_element_type=jnp.float32)
         ohr = _onehot(rid, n, h.dtype)
-        hu = jax.lax.dot_general(ohs, h, _DN0,
-                                 preferred_element_type=jnp.float32)
         hv = jax.lax.dot_general(ohr, h, _DN0,
                                  preferred_element_type=jnp.float32)
         hu = hu.astype(h.dtype)                   # (B, F)
@@ -151,11 +165,14 @@ def _make_fwd_kernel(bk: int, k: int, drop_rate: float):
     return kernel
 
 
-def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
+def _make_bwd_kernel(bk: int, k: int, drop_rate: float, band: int = 0):
+    """Backward kernel. ``band`` > 0 turns the sid-side dh scatter into a
+    banded accumulate (one-hot (band, B) into dh[start:start+band]) — same
+    coverage contract as the forward's banded select."""
     keep, thresh = _dropout_consts(drop_rate)
 
-    def kernel(seed_ref, sid_ref, rid_ref, dp_ref, hu_ref, hv_ref,
-               w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
+    def kernel(starts_ref, seed_ref, sid_ref, rid_ref, dp_ref, hu_ref,
+               hv_ref, w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
                dh_ref, dw1a_ref, dw1b_ref, db1_ref, dw2_ref, db2_ref):
         i = pl.program_id(0)
 
@@ -173,7 +190,11 @@ def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
         n = dh_ref.shape[0]
         hu = hu_ref[0]                            # (B, F) residuals from fwd
         hv = hv_ref[0]
-        ohs = _onehot(sid, n, hu.dtype)           # (Np, B): for dh scatters
+        if band > 0:
+            start = pl.multiple_of(starts_ref[i, 0], 8)
+            ohs = _onehot(sid - start, band, hu.dtype)   # (band, B)
+        else:
+            ohs = _onehot(sid, n, hu.dtype)       # (Np, B): for dh scatters
         ohr = _onehot(rid, n, hu.dtype)
         prod = hu * hv
         diff = hu - hv
@@ -218,8 +239,13 @@ def _make_bwd_kernel(bk: int, k: int, drop_rate: float):
                                     preferred_element_type=jnp.float32)
         dhu = (dprod * hv.astype(jnp.float32) + ddiff).astype(hu.dtype)
         dhv = (dprod * hu.astype(jnp.float32) - ddiff).astype(hu.dtype)
-        dh_ref[:] += jax.lax.dot(ohs, dhu,
-                                 preferred_element_type=jnp.float32)
+        if band > 0:
+            sl = pl.ds(start, band)
+            dh_ref[sl, :] += jax.lax.dot(ohs, dhu,
+                                         preferred_element_type=jnp.float32)
+        else:
+            dh_ref[:] += jax.lax.dot(ohs, dhu,
+                                     preferred_element_type=jnp.float32)
         dh_ref[:] += jax.lax.dot(ohr, dhv,
                                  preferred_element_type=jnp.float32)
 
@@ -230,8 +256,12 @@ def _pad_inputs(sid, rid, dp=None, block=512):
     q = sid.shape[0]
     q_pad = _round_up(q, block)
     if q_pad != q:
-        sid = jnp.pad(sid, (0, q_pad - q))
-        rid = jnp.pad(rid, (0, q_pad - q))
+        # edge-replicate the ids: keeps the last block's band narrow for
+        # the sorted-head path (zero-padding would blow its span every
+        # step); harmless for the full kernel (padding slots' fwd outputs
+        # are sliced off and their bwd cotangent is zero)
+        sid = jnp.pad(sid, (0, q_pad - q), mode="edge")
+        rid = jnp.pad(rid, (0, q_pad - q), mode="edge")
         if dp is not None:
             dp = jnp.pad(dp, (0, q_pad - q))          # zero cotangent
     nb = q_pad // block
@@ -239,6 +269,23 @@ def _pad_inputs(sid, rid, dp=None, block=512):
     rid2 = rid.reshape(nb, 1, block).astype(jnp.int32)
     dp2 = None if dp is None else dp.reshape(nb, 1, block)
     return sid2, rid2, dp2, nb
+
+
+def _band_starts(sid2, n_rows: int, band: int):
+    """Per-block aligned band origins + the step's coverage predicate.
+
+    Correctness contract of the banded kernels: every id in block b must
+    fall in [starts[b], starts[b] + band). starts is the 8-aligned block
+    minimum (clamped so the dynamic slice stays in bounds); ``ok`` is True
+    iff the contract holds for EVERY block this step — the caller
+    dispatches to the full-N kernel otherwise, so a pathological sample is
+    slow, never wrong."""
+    ids = sid2[:, 0, :]                               # (nb, block)
+    bmin = jnp.min(ids, axis=1)
+    bmax = jnp.max(ids, axis=1)
+    starts = jnp.clip(bmin // 8 * 8, 0, n_rows - band).astype(jnp.int32)
+    ok = jnp.all(bmax - starts + 1 <= band)
+    return starts.reshape(-1, 1), ok
 
 
 def _smem_spec(interpret):
@@ -252,36 +299,53 @@ def _common_specs(block, f, k, interpret):
     return idx, full
 
 
-@functools.partial(jax.jit, static_argnames=("block", "drop_rate",
+def _starts_spec(nb, interpret):
+    space = pl.ANY if interpret else pltpu.SMEM
+    return pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=space)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "drop_rate", "band",
                                              "interpret"))
 def _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
-              block: int, drop_rate: float, interpret: bool = False):
+              block: int, drop_rate: float, band: int = 0,
+              interpret: bool = False):
     q = sid.shape[0]
     f = h.shape[1]
     k = w1a.shape[1]
     sid2, rid2, _, nb = _pad_inputs(sid, rid, block=block)
     idx, full = _common_specs(block, f, k, interpret)
     blkf = pl.BlockSpec((1, block, f), lambda i: (i, 0, 0))
-    out, hu, hv = pl.pallas_call(
-        _make_fwd_kernel(block, k, drop_rate),
-        grid=(nb,),
-        in_specs=[_smem_spec(interpret), idx, idx, full(h.shape[0], f),
-                  full(f, k), full(f, k), full(1, k), full(1, k),
-                  full(1, 1)],
-        out_specs=[pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
-                   blkf, blkf],
-        out_shape=[jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, block, f), h.dtype),
-                   jax.ShapeDtypeStruct((nb, block, f), h.dtype)],
-        interpret=interpret,
-    )(seed, sid2, rid2, h, w1a, w1b, b1, w2, b2)
+
+    def call(kern_band, starts):
+        return pl.pallas_call(
+            _make_fwd_kernel(block, k, drop_rate, kern_band),
+            grid=(nb,),
+            in_specs=[_starts_spec(nb, interpret), _smem_spec(interpret),
+                      idx, idx, full(h.shape[0], f),
+                      full(f, k), full(f, k), full(1, k), full(1, k),
+                      full(1, 1)],
+            out_specs=[pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
+                       blkf, blkf],
+            out_shape=[jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, block, f), h.dtype),
+                       jax.ShapeDtypeStruct((nb, block, f), h.dtype)],
+            interpret=interpret,
+        )(starts, seed, sid2, rid2, h, w1a, w1b, b1, w2, b2)
+
+    if band > 0 and band < h.shape[0]:
+        starts, ok = _band_starts(sid2, h.shape[0], band)
+        out, hu, hv = jax.lax.cond(ok,
+                                   lambda s: call(band, s),
+                                   lambda s: call(0, s), starts)
+    else:
+        out, hu, hv = call(0, jnp.zeros((nb, 1), jnp.int32))
     return out.reshape(nb * block)[:q], hu, hv
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "block", "drop_rate",
-                                             "interpret"))
+                                             "band", "interpret"))
 def _bwd_call(hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
-              n_pad: int, block: int, drop_rate: float,
+              n_pad: int, block: int, drop_rate: float, band: int = 0,
               interpret: bool = False):
     f = hu.shape[-1]
     k = w1a.shape[1]
@@ -289,49 +353,62 @@ def _bwd_call(hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
                                       block=block)
     idx, full = _common_specs(block, f, k, interpret)
     blkf = pl.BlockSpec((1, block, f), lambda i: (i, 0, 0))
-    outs = pl.pallas_call(
-        _make_bwd_kernel(block, k, drop_rate),
-        grid=(nb,),
-        in_specs=[_smem_spec(interpret), idx, idx, idx, blkf, blkf,
-                  full(f, k), full(f, k), full(1, k), full(1, k),
-                  full(1, 1)],
-        out_specs=[full(n_pad, f), full(f, k), full(f, k), full(1, k),
-                   full(1, k), full(1, 128)],
-        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
-                   jax.ShapeDtypeStruct((f, k), jnp.float32),
-                   jax.ShapeDtypeStruct((f, k), jnp.float32),
-                   jax.ShapeDtypeStruct((1, k), jnp.float32),
-                   jax.ShapeDtypeStruct((1, k), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 128), jnp.float32)],
-        interpret=interpret,
-    )(seed, sid2, rid2, dp2, hu, hv, w1a, w1b, b1, w2, b2)
+
+    def call(kern_band, starts):
+        return pl.pallas_call(
+            _make_bwd_kernel(block, k, drop_rate, kern_band),
+            grid=(nb,),
+            in_specs=[_starts_spec(nb, interpret), _smem_spec(interpret),
+                      idx, idx, idx, blkf, blkf,
+                      full(f, k), full(f, k), full(1, k), full(1, k),
+                      full(1, 1)],
+            out_specs=[full(n_pad, f), full(f, k), full(f, k), full(1, k),
+                       full(1, k), full(1, 128)],
+            out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+                       jax.ShapeDtypeStruct((f, k), jnp.float32),
+                       jax.ShapeDtypeStruct((f, k), jnp.float32),
+                       jax.ShapeDtypeStruct((1, k), jnp.float32),
+                       jax.ShapeDtypeStruct((1, k), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 128), jnp.float32)],
+            interpret=interpret,
+        )(starts, seed, sid2, rid2, dp2, hu, hv, w1a, w1b, b1, w2, b2)
+
+    if band > 0 and band < n_pad:
+        # same starts/predicate as the forward (recomputed from the same
+        # padded ids — deterministic), so fwd and bwd take the same branch
+        starts, ok = _band_starts(sid2, n_pad, band)
+        outs = jax.lax.cond(ok,
+                            lambda s: call(band, s),
+                            lambda s: call(0, s), starts)
+    else:
+        outs = call(0, jnp.zeros((nb, 1), jnp.int32))
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _score_sampled(h, w1a, w1b, b1, w2, b2, sid, rid,
-                   block, drop_rate, interpret, seed):
+                   block, drop_rate, band, interpret, seed):
     out, _, _ = _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
-                          block, drop_rate, interpret)
+                          block, drop_rate, band, interpret)
     return out
 
 
 def _score_sampled_fwd(h, w1a, w1b, b1, w2, b2, sid, rid,
-                       block, drop_rate, interpret, seed):
+                       block, drop_rate, band, interpret, seed):
     out, hu, hv = _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
-                            block, drop_rate, interpret)
+                            block, drop_rate, band, interpret)
     # zero-size token: carries h's row count + dtype into the bwd rule
     # (custom_vjp residuals must be arrays)
     h_tok = jnp.zeros((h.shape[0], 0), h.dtype)
     return out, (h_tok, hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed)
 
 
-def _score_sampled_bwd(block, drop_rate, interpret, res, dp):
+def _score_sampled_bwd(block, drop_rate, band, interpret, res, dp):
     h_tok, hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed = res
     n_pad, h_dtype = h_tok.shape[0], h_tok.dtype
     dh, dw1a, dw1b, db1, dw2, db2 = _bwd_call(
         hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
-        n_pad, block, drop_rate, interpret)
+        n_pad, block, drop_rate, band, interpret)
     return (dh.astype(h_dtype), dw1a.astype(w1a.dtype),
             dw1b.astype(w1b.dtype), db1.reshape(b1.shape).astype(b1.dtype),
             dw2.reshape(w2.shape).astype(w2.dtype),
@@ -342,10 +419,20 @@ def _score_sampled_bwd(block, drop_rate, interpret, res, dp):
 _score_sampled.defvjp(_score_sampled_fwd, _score_sampled_bwd)
 
 
+#: static band width of the sorted-head fast path (rows; multiple of 8).
+#: 256 covers the p99 block span with ~10x margin on the bench partition
+#: profile (tools/microbench_sort.py) while cutting the sid-side one-hot
+#: FLOPs by n_pad/256 (8x at N=2048); a step whose sample exceeds it
+#: falls back to the full kernel via the in-graph coverage predicate.
+DEFAULT_HEAD_BAND = 256
+
+
 def score_head_sampled(h, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
                        senders, receivers, *, drop_rate: float = 0.0,
-                       seed=0, block: int = 512, interpret: bool = False):
-    """Differentiable fused score head over dynamic (unsorted) edge indices.
+                       seed=0, block: int = 512, sorted_side: str = "",
+                       band: int = DEFAULT_HEAD_BAND,
+                       interpret: bool = False):
+    """Differentiable fused score head over dynamic edge indices.
 
     ``h`` is (N, F) node embeddings (any float dtype; bf16 on the TPU hot
     path); fc1_kernel is the (2F, K) concat-layout kernel whose
@@ -355,13 +442,28 @@ def score_head_sampled(h, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
     w.r.t. h and all four head parameters (indices/seed get no cotangent).
     Gate with `use_fused_sampled_head` — the one-hot working set must fit
     VMEM.
-    """
+
+    ``sorted_side`` ('senders' | 'receivers' | '') declares that one
+    endpoint array is NEAR-sorted (non-decreasing up to a per-block jitter
+    < ``band`` rows — e.g. sampled indices sorted ascending over a
+    receiver-sorted edge list, or over the sender-tile-major tile layout):
+    that side's one-hot select/scatter then runs banded ((band, B) panels
+    instead of (N, B)), with an in-graph coverage check falling back to
+    the full kernel on any step whose sample violates the band — slow,
+    never wrong.  The receiver-side variant rides the same kernel with the
+    endpoints swapped and the difference half of fc1 negated
+    ((hv-hu) @ -W1b == (hu-hv) @ W1b; the product half is symmetric)."""
     f = h.shape[1]
     n_pad = _round_up(max(h.shape[0], 8), 8)
     if n_pad != h.shape[0]:
         h = jnp.pad(h, ((0, n_pad - h.shape[0]), (0, 0)))
     w1a = fc1_kernel[:f].astype(h.dtype)
     w1b = fc1_kernel[f:].astype(h.dtype)
+    if sorted_side == "receivers":
+        senders, receivers = receivers, senders
+        w1b = -w1b
+    use_band = _round_up(int(band), 8) if sorted_side in ("senders",
+                                                          "receivers") else 0
     b1 = fc1_bias.reshape(1, -1).astype(jnp.float32)
     w2 = fc2_kernel.reshape(1, -1).astype(jnp.float32)
     b2 = fc2_bias.reshape(1, 1).astype(jnp.float32)
@@ -369,7 +471,8 @@ def score_head_sampled(h, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
     return _score_sampled(h, w1a, w1b, b1, w2, b2,
                           senders.astype(jnp.int32),
                           receivers.astype(jnp.int32),
-                          int(block), float(drop_rate), bool(interpret), seed)
+                          int(block), float(drop_rate), use_band,
+                          bool(interpret), seed)
 
 
 def score_head_sampled_reference(h, fc1_kernel, fc1_bias, fc2_kernel,

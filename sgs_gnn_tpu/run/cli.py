@@ -132,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=['auto', 'on', 'off'],
                    help='fused tile-pair score kernel for the hybrid '
                         'sampling pass (auto = TPU only)')
+    p.add_argument('--sorted_head', type=str, default=d.sorted_head,
+                   choices=['auto', 'off'],
+                   help='sort sampled indices so the fused sampled-edge '
+                        'head runs banded one-hot ops (A/B: off)')
     p.add_argument('--multihost', type=str2bool, nargs='?', const=True,
                    default=d.multihost,
                    help='initialize jax.distributed and run over all hosts')

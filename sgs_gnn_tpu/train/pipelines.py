@@ -165,6 +165,16 @@ def make_learned_loss(cfg: Config, model, q: int):
                                         q, cfg.degree_bias_coef,
                                         edge_mask=g.tile_mask,
                                         approx=cfg.approx_topk, bf16=cfg.topk_bf16)
+                sorted_side = ""
+                if cfg.sorted_head != "off":
+                    # r5 sorted-head fast path: ascending tile indices put
+                    # the SENDERS in near-sorted order (the tile layout is
+                    # sender-tile-major, ops/score_tiles.build_tile_index),
+                    # so the fused head's sid-side one-hot ops run banded
+                    # (ops/score_sampled.py). Sampling is a set — the
+                    # reorder is consistent across every consumer below.
+                    idx_t = jnp.sort(idx_t)
+                    sorted_side = "senders"
                 if g.tile_aux is not None:
                     # one packed tile-order aux gather replaces the
                     # tile_perm->senders/receivers/tile_mask gather chain;
@@ -188,11 +198,18 @@ def make_learned_loss(cfg: Config, model, q: int):
                                       cfg.degree_bias_coef,
                                       edge_mask=g.edge_mask,
                                       approx=cfg.approx_topk, bf16=cfg.topk_bf16)
+                sorted_side = ""
+                if cfg.sorted_head != "off" and g.receiver_band > 0:
+                    # the edge list is receiver-sorted (core/graph.py), so
+                    # ascending edge ids sort the sampled RECEIVERS exactly
+                    idx = jnp.sort(idx)
+                    sorted_side = "receivers"
                 s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             weights = model.apply(p, h, s_s, s_r, False,
                                   cfg.hybrid_checkpoint, 0,
                                   rngs={"dropout": k_s2},
-                                  method="score_from_embeddings")
+                                  method="score_from_embeddings",
+                                  sorted_side=sorted_side)
             probs_for_loss = weights
         elif pipeline == "hybrid":
             probs_full = _score(model, p, g.x, prop_s, prop_r,

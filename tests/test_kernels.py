@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from sgs_gnn_tpu.ops.scatter_pallas import scatter_add_pallas
 from sgs_gnn_tpu.ops.edge_gather import gather_rows
@@ -372,6 +373,70 @@ def test_score_sampled_grad_matches_oracle(rng):
     for a, b, name in zip(gk, gr, ["h", "w1", "b1", "w2", "b2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("side", ["senders", "receivers"])
+def test_score_sampled_banded_matches_oracle(rng, side):
+    """r5 sorted-head fast path: with one endpoint near-sorted and a band
+    declared, fwd and grads must equal the oracle exactly (the banded
+    kernel covers every id, the receiver variant rides the swapped-endpoint
+    + negated-W1b identity)."""
+    n, f, k, q = 96, 128, 128, 200
+    h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    w1, b1, w2, b2 = _head_params(rng, f, k)
+    sorted_ids = jnp.asarray(np.sort(rng.integers(0, n, q)).astype(np.int32))
+    other = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+    s, r = (sorted_ids, other) if side == "senders" else (other, sorted_ids)
+    cot = jnp.asarray(rng.normal(size=(q,)).astype(np.float32))
+
+    def loss(fn):
+        def inner(h_, w1_, b1_, w2_, b2_):
+            p = fn(h_, w1_, b1_, w2_, b2_)
+            return jnp.sum(jnp.cos(3.0 * p) * cot)
+        return inner
+
+    kern = loss(lambda *a: score_head_sampled(
+        *a, s, r, block=64, sorted_side=side, band=32, interpret=True))
+    ref = loss(lambda *a: score_head_sampled_reference(*a, s, r))
+    np.testing.assert_allclose(np.asarray(kern(h, w1, b1, w2, b2)),
+                               np.asarray(ref(h, w1, b1, w2, b2)),
+                               rtol=1e-5, atol=1e-5)
+    gk = jax.grad(kern, argnums=(0, 1, 2, 3, 4))(h, w1, b1, w2, b2)
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3, 4))(h, w1, b1, w2, b2)
+    for a, b, name in zip(gk, gr, ["h", "w1", "b1", "w2", "b2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5, err_msg=name)
+
+
+def test_score_sampled_banded_fallback_on_wide_span(rng):
+    """A sample whose block span exceeds the band must ride the full-kernel
+    branch of the in-graph coverage cond — identical results, never dropped
+    contributions."""
+    n, f, k, q = 96, 128, 128, 128
+    h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    w1, b1, w2, b2 = _head_params(rng, f, k)
+    # UNSORTED ids declared sorted: spans blow the 16-row band every block
+    s = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, q).astype(np.int32))
+    out = score_head_sampled(h, w1, b1, w2, b2, s, r, block=64,
+                             sorted_side="senders", band=16, interpret=True)
+    ref = score_head_sampled_reference(h, w1, b1, w2, b2, s, r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_kernel(h_):
+        p = score_head_sampled(h_, w1, b1, w2, b2, s, r, block=64,
+                               sorted_side="senders", band=16,
+                               interpret=True)
+        return jnp.sum(p * p)
+
+    def loss_ref(h_):
+        p = score_head_sampled_reference(h_, w1, b1, w2, b2, s, r)
+        return jnp.sum(p * p)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_kernel)(h)),
+                               np.asarray(jax.grad(loss_ref)(h)),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_use_fused_sampled_head_gate(monkeypatch):
