@@ -26,11 +26,23 @@ HBM as residuals by design (the backward reuses them instead of re-running
 the two one-hot selects — an A/B-measured recompute-vs-traffic win); all
 other intermediates (z, activations, one-hot panels) stay in VMEM.
 
-FLOP cost stays N*F*2 per edge per one-hot op (4 per edge over fwd+bwd) —
+FLOP cost is N*F*2 per edge per one-hot op (4 per edge over fwd+bwd) —
 the standing one-hot tax for dynamic indices (PERF.md: Mosaic cannot
 express per-row dynamic VMEM gather) — but HBM traffic drops to the ids,
 dp, and one dh write, and all four gather/scatter ops plus the head ride a
 single kernel launch per pass.
+
+r5 sorted-head fast path: when the caller samples in sorted order
+(train/pipelines.py sorts the q sampled indices — ascending tile slots
+put SENDERS in near-sorted order under the sender-tile-major layout of
+ops/score_tiles.py, ascending edge ids put RECEIVERS in sorted order on
+the receiver-sorted edge list), the near-sorted side's two one-hot ops run
+BANDED: a per-block 8-aligned band origin rides scalar prefetch and the
+panel shrinks to (band, B) — band/N of the FLOPs (1/8 at the bench shapes,
+A/B-measured 33.3 -> 35.4M edges/s including the ~1.6 ms in-step sort).
+An in-graph coverage predicate (_band_starts) dispatches the step to the
+full-N kernel whenever any block's span exceeds the band: a pathological
+sample is slow, never wrong.
 
 Dropout uses the in-kernel TPU PRNG (pltpu.prng_random_bits), a different
 stream than flax's jax.random — statistically equivalent noise; identical
@@ -122,15 +134,19 @@ def _make_fwd_kernel(bk: int, k: int, drop_rate: float, band: int = 0):
     (_fwd_call's lax.cond does exactly that)."""
     keep, thresh = _dropout_consts(drop_rate)
 
-    def kernel(starts_ref, seed_ref, sid_ref, rid_ref, h_ref, w1a_ref,
-               w1b_ref, b1_ref, w2_ref, b2_ref, out_ref, hu_ref, hv_ref):
+    def kernel(*refs):
+        if band > 0:
+            starts_ref = refs[0]
+            refs = refs[1:]
+        (seed_ref, sid_ref, rid_ref, h_ref, w1a_ref, w1b_ref, b1_ref,
+         w2_ref, b2_ref, out_ref, hu_ref, hv_ref) = refs
         i = pl.program_id(0)
         sid = sid_ref[0, 0, :]                    # (B,) int32
         rid = rid_ref[0, 0, :]
         h = h_ref[:]                              # (Np, F)
         n = h.shape[0]
         if band > 0:
-            start = pl.multiple_of(starts_ref[i, 0], 8)
+            start = pl.multiple_of(starts_ref[i], 8)
             hb = h_ref[pl.ds(start, band), :]     # (band, F)
             ohs = _onehot(sid - start, band, h.dtype)
             hu = jax.lax.dot_general(ohs, hb, _DN0,
@@ -171,9 +187,13 @@ def _make_bwd_kernel(bk: int, k: int, drop_rate: float, band: int = 0):
     coverage contract as the forward's banded select."""
     keep, thresh = _dropout_consts(drop_rate)
 
-    def kernel(starts_ref, seed_ref, sid_ref, rid_ref, dp_ref, hu_ref,
-               hv_ref, w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
-               dh_ref, dw1a_ref, dw1b_ref, db1_ref, dw2_ref, db2_ref):
+    def kernel(*refs):
+        if band > 0:
+            starts_ref = refs[0]
+            refs = refs[1:]
+        (seed_ref, sid_ref, rid_ref, dp_ref, hu_ref, hv_ref,
+         w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
+         dh_ref, dw1a_ref, dw1b_ref, db1_ref, dw2_ref, db2_ref) = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -191,7 +211,7 @@ def _make_bwd_kernel(bk: int, k: int, drop_rate: float, band: int = 0):
         hu = hu_ref[0]                            # (B, F) residuals from fwd
         hv = hv_ref[0]
         if band > 0:
-            start = pl.multiple_of(starts_ref[i, 0], 8)
+            start = pl.multiple_of(starts_ref[i], 8)
             ohs = _onehot(sid - start, band, hu.dtype)   # (band, B)
         else:
             ohs = _onehot(sid, n, hu.dtype)       # (Np, B): for dh scatters
@@ -285,11 +305,13 @@ def _band_starts(sid2, n_rows: int, band: int):
     bmax = jnp.max(ids, axis=1)
     starts = jnp.clip(bmin // 8 * 8, 0, n_rows - band).astype(jnp.int32)
     ok = jnp.all(bmax - starts + 1 <= band)
-    return starts.reshape(-1, 1), ok
+    return starts, ok
 
 
-def _smem_spec(interpret):
+def _smem_spec(interpret, scalar_arg: bool = False):
     space = pl.ANY if interpret else pltpu.SMEM
+    if scalar_arg:        # under PrefetchScalarGridSpec index maps take s
+        return pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=space)
     return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=space)
 
 
@@ -297,11 +319,6 @@ def _common_specs(block, f, k, interpret):
     idx = pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0))
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     return idx, full
-
-
-def _starts_spec(nb, interpret):
-    space = pl.ANY if interpret else pltpu.SMEM
-    return pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=space)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "drop_rate", "band",
@@ -315,30 +332,51 @@ def _fwd_call(h, w1a, w1b, b1, w2, b2, sid, rid, seed,
     sid2, rid2, _, nb = _pad_inputs(sid, rid, block=block)
     idx, full = _common_specs(block, f, k, interpret)
     blkf = pl.BlockSpec((1, block, f), lambda i: (i, 0, 0))
+    out_shape = [jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+                 jax.ShapeDtypeStruct((nb, block, f), h.dtype),
+                 jax.ShapeDtypeStruct((nb, block, f), h.dtype)]
 
-    def call(kern_band, starts):
+    def call_full(_starts):
         return pl.pallas_call(
-            _make_fwd_kernel(block, k, drop_rate, kern_band),
+            _make_fwd_kernel(block, k, drop_rate, 0),
             grid=(nb,),
-            in_specs=[_starts_spec(nb, interpret), _smem_spec(interpret),
-                      idx, idx, full(h.shape[0], f),
+            in_specs=[_smem_spec(interpret), idx, idx, full(h.shape[0], f),
                       full(f, k), full(f, k), full(1, k), full(1, k),
                       full(1, 1)],
             out_specs=[pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
                        blkf, blkf],
-            out_shape=[jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
-                       jax.ShapeDtypeStruct((nb, block, f), h.dtype),
-                       jax.ShapeDtypeStruct((nb, block, f), h.dtype)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(seed, sid2, rid2, h, w1a, w1b, b1, w2, b2)
+
+    def call_banded(starts):
+        # per-block band origins ride scalar prefetch (packed SMEM — a
+        # plain (nb, 1) SMEM input is lane-padded 128x and blows the SMEM
+        # budget at Reddit-scale nb)
+        idx_s = pl.BlockSpec((1, 1, block), lambda i, s: (i, 0, 0))
+        blkf_s = pl.BlockSpec((1, block, f), lambda i, s: (i, 0, 0))
+        full_s = lambda a, b: pl.BlockSpec((a, b), lambda i, s: (0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[_smem_spec(interpret, scalar_arg=True), idx_s, idx_s,
+                      full_s(h.shape[0], f), full_s(f, k), full_s(f, k),
+                      full_s(1, k), full_s(1, k), full_s(1, 1)],
+            out_specs=[pl.BlockSpec((1, 1, block), lambda i, s: (i, 0, 0)),
+                       blkf_s, blkf_s],
+        )
+        return pl.pallas_call(
+            _make_fwd_kernel(block, k, drop_rate, band),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
             interpret=interpret,
         )(starts, seed, sid2, rid2, h, w1a, w1b, b1, w2, b2)
 
     if band > 0 and band < h.shape[0]:
         starts, ok = _band_starts(sid2, h.shape[0], band)
-        out, hu, hv = jax.lax.cond(ok,
-                                   lambda s: call(band, s),
-                                   lambda s: call(0, s), starts)
+        out, hu, hv = jax.lax.cond(ok, call_banded, call_full, starts)
     else:
-        out, hu, hv = call(0, jnp.zeros((nb, 1), jnp.int32))
+        out, hu, hv = call_full(None)
     return out.reshape(nb * block)[:q], hu, hv
 
 
@@ -354,22 +392,44 @@ def _bwd_call(hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
     idx, full = _common_specs(block, f, k, interpret)
     blkf = pl.BlockSpec((1, block, f), lambda i: (i, 0, 0))
 
-    def call(kern_band, starts):
+    out_shape = [jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+                 jax.ShapeDtypeStruct((f, k), jnp.float32),
+                 jax.ShapeDtypeStruct((f, k), jnp.float32),
+                 jax.ShapeDtypeStruct((1, k), jnp.float32),
+                 jax.ShapeDtypeStruct((1, k), jnp.float32),
+                 jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+
+    def call_full(_starts):
         return pl.pallas_call(
-            _make_bwd_kernel(block, k, drop_rate, kern_band),
+            _make_bwd_kernel(block, k, drop_rate, 0),
             grid=(nb,),
-            in_specs=[_starts_spec(nb, interpret), _smem_spec(interpret),
-                      idx, idx, idx, blkf, blkf,
+            in_specs=[_smem_spec(interpret), idx, idx, idx, blkf, blkf,
                       full(f, k), full(f, k), full(1, k), full(1, k),
                       full(1, 1)],
             out_specs=[full(n_pad, f), full(f, k), full(f, k), full(1, k),
                        full(1, k), full(1, 128)],
-            out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
-                       jax.ShapeDtypeStruct((f, k), jnp.float32),
-                       jax.ShapeDtypeStruct((f, k), jnp.float32),
-                       jax.ShapeDtypeStruct((1, k), jnp.float32),
-                       jax.ShapeDtypeStruct((1, k), jnp.float32),
-                       jax.ShapeDtypeStruct((1, 128), jnp.float32)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(seed, sid2, rid2, dp2, hu, hv, w1a, w1b, b1, w2, b2)
+
+    def call_banded(starts):
+        idx_s = pl.BlockSpec((1, 1, block), lambda i, s: (i, 0, 0))
+        blkf_s = pl.BlockSpec((1, block, f), lambda i, s: (i, 0, 0))
+        full_s = lambda a, b: pl.BlockSpec((a, b), lambda i, s: (0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[_smem_spec(interpret, scalar_arg=True), idx_s, idx_s,
+                      idx_s, blkf_s, blkf_s,
+                      full_s(f, k), full_s(f, k), full_s(1, k),
+                      full_s(1, k), full_s(1, 1)],
+            out_specs=[full_s(n_pad, f), full_s(f, k), full_s(f, k),
+                       full_s(1, k), full_s(1, k), full_s(1, 128)],
+        )
+        return pl.pallas_call(
+            _make_bwd_kernel(block, k, drop_rate, band),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
             interpret=interpret,
         )(starts, seed, sid2, rid2, dp2, hu, hv, w1a, w1b, b1, w2, b2)
 
@@ -377,11 +437,9 @@ def _bwd_call(hu, hv, w1a, w1b, b1, w2, b2, sid, rid, seed, dp,
         # same starts/predicate as the forward (recomputed from the same
         # padded ids — deterministic), so fwd and bwd take the same branch
         starts, ok = _band_starts(sid2, n_pad, band)
-        outs = jax.lax.cond(ok,
-                            lambda s: call(band, s),
-                            lambda s: call(0, s), starts)
+        outs = jax.lax.cond(ok, call_banded, call_full, starts)
     else:
-        outs = call(0, jnp.zeros((nb, 1), jnp.int32))
+        outs = call_full(None)
     return outs
 
 
