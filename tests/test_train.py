@@ -211,6 +211,35 @@ def test_baseline_modes_train(rng, mode):
     assert losses[-1] < losses[0]
 
 
+def test_sorted_head_is_permutation_invariant(rng):
+    """r5 sorted-head fast path: sorting the sampled indices reorders the
+    sampled EDGES but not the sampled SET — with dropout off, every loss
+    term is a permutation-invariant sum, so one hybrid step must produce
+    the same loss/params as sorted_head=off up to f32 reassociation."""
+    g = _homophilous_graph(rng)
+    outs = {}
+    for sh in ("auto", "off"):
+        cfg = Config(pipeline="hybrid", mode="learned", conditional=True,
+                     reg1=True, reg2=True, nhid=32, drop_rate=0.0,
+                     sorted_head=sh, donate=False)
+        q = int(g.num_edges * 0.3)
+        model = get_model(cfg.GNN, g.x.shape[1], cfg.nhid, g.num_classes,
+                          cfg.drop_rate, cfg.edge_mlp_type)
+        params = init_params(model, jax.random.PRNGKey(0), g.x, g.senders,
+                             g.receivers)
+        opt = DualOptimizer.create(params, cfg.GNN, cfg.lr, cfg.weight_decay)
+        step = make_train_step(cfg, model, opt, q, max_epoch=10)
+        p2, _, m = step(params, opt.init(params), g, jnp.asarray(0),
+                        jax.random.PRNGKey(7))
+        outs[sh] = (float(m.loss), p2)
+    assert np.isclose(outs["auto"][0], outs["off"][0], rtol=1e-5)
+    flat_a = jax.tree_util.tree_leaves(outs["auto"][1])
+    flat_b = jax.tree_util.tree_leaves(outs["off"][1])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
 def test_small_batch_path_uses_full_graph(rng):
     g = _homophilous_graph(rng, n=40)
     cfg = Config(mode="learned", pipeline="hybrid", nhid=16, donate=False)
