@@ -210,6 +210,18 @@ def log_fastpath_status(cfg: Config, batches, q: int, log_fn):
         fused_s = f"off (N={g0.num_nodes} x F={cfg.nhid} one-hot working " \
                   f"set exceeds the VMEM budget at every block size)"
     log_fn(f"[fastpath] fused_sampled_head={fused_s}")
+    # r5 sorted-head band (ops/score_sampled.py): sampled indices sorted on
+    # device so the fused head's near-sorted side runs banded one-hot ops
+    if cfg.sorted_head == "off":
+        sort_s = "off (--sorted_head off)"
+    elif fused_blk is None or "on" not in fused_s:
+        sort_s = "off (fused head not engaged)"
+    else:
+        from ..ops.score_sampled import DEFAULT_HEAD_BAND
+        side = "senders (tile order)" if g0.tile_t else "receivers"
+        sort_s = (f"on (band={DEFAULT_HEAD_BAND}, sorted side={side}, "
+                  f"full-kernel fallback on wide-span steps)")
+    log_fn(f"[fastpath] sorted_head={sort_s}")
     # sampling top-k reduction (ops/sampling_ops._select_topk)
     if not cfg.approx_topk:
         topk_s = "exact (lax.top_k; --approx_topk engages approx_max_k)"
