@@ -243,24 +243,25 @@ def test_fastpath_status_lines(small_graph):
     lines = []
     cfg = Config(mode="learned", pipeline="hybrid")
     log_fastpath_status(cfg, [g], q=100, log_fn=lines.append)
-    assert len(lines) == 5
+    assert len(lines) == 6
     assert all(ln.startswith("[fastpath]") for ln in lines)
     # CPU backend: tile=auto declines, dense=auto declines, scatter off
     assert "tile_score_kernel=off" in lines[0]
     assert "dense_subgraph=off" in lines[1]
     assert "scatter_mxu_kernel=off" in lines[2]
     assert "fused_sampled_head=off" in lines[3]
-    assert "sampling_topk=exact" in lines[4]
+    assert "sorted_head=off" in lines[4]
+    assert "sampling_topk=exact" in lines[5]
     # approx_topk on a CPU backend: bf16 keys report off with the backend
     lines_b = []
     log_fastpath_status(cfg.replace(approx_topk=True), [g], q=100,
                         log_fn=lines_b.append)
-    assert "sampling_topk=approx" in lines_b[4]
-    assert "bf16_keys=off (backend=cpu)" in lines_b[4]
+    assert "sampling_topk=approx" in lines_b[5]
+    assert "bf16_keys=off (backend=cpu)" in lines_b[5]
     lines_c = []
     log_fastpath_status(cfg.replace(approx_topk=True, topk_bf16=False),
                         [g], q=100, log_fn=lines_c.append)
-    assert "bf16_keys=off (--topk_bf16 off)" in lines_c[4]
+    assert "bf16_keys=off (--topk_bf16 off)" in lines_c[5]
     # every off-line carries a parenthesized reason
     assert all("(" in ln for ln in lines)
     # non-hybrid pipelines report the tile kernel as not applicable
