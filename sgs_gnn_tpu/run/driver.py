@@ -559,11 +559,16 @@ def run_experiment(cfg: Config, ds: Optional[HostDataset] = None,
             mem = _device_peak_mem_mb()
             mem_s = f"{mem:.2f}" if mem is not None else "NA"
             # edges/s = valid (unpadded) edges trained per second — the
-            # north-star throughput metric, on both execution paths
+            # north-star throughput metric, on both execution paths.
+            # steady = median epoch: excludes the compile-dominated first
+            # epoch (and one-off tunnel stalls) that the mean absorbs
             edges_per_s = sum(valid_e) / max(res.mean_epoch_time, 1e-9)
+            steady = (sum(valid_e) / max(float(np.median(epoch_times)), 1e-9)
+                      if epoch_times else 0.0)
             log_fn(f"[stats] pipeline={cfg.pipeline} run={run} "
                    f"train_time_sec={res.train_time_sec:.4f} "
                    f"edges_per_s={edges_per_s:.0f} "
+                   f"edges_per_s_steady={steady:.0f} "
                    f"peak_device_mem_mb={mem_s} "
                    f"best_val_f1={res.final_val_f1:.4f} "
                    f"best_test_f1={res.final_test_f1:.4f}")
@@ -831,12 +836,15 @@ def run_experiment_parallel(cfg: Config, ds: HostDataset,
         if cfg.stats:
             mem = _device_peak_mem_mb()
             mem_s = f"{mem:.2f}" if mem is not None else "NA"
-            edges_per_s = (sum(int(np.asarray(b.edge_mask).sum())
-                               for b in batches)
-                           / max(res.mean_epoch_time, 1e-9))
+            tot_valid = sum(int(np.asarray(b.edge_mask).sum())
+                            for b in batches)
+            edges_per_s = tot_valid / max(res.mean_epoch_time, 1e-9)
+            steady = (tot_valid / max(float(np.median(epoch_times)), 1e-9)
+                      if epoch_times else 0.0)
             log_fn(f"[stats] pipeline={cfg.pipeline} run={run} parallel={n_dev} "
                    f"train_time_sec={res.train_time_sec:.4f} "
                    f"edges_per_s={edges_per_s:.0f} "
+                   f"edges_per_s_steady={steady:.0f} "
                    f"peak_device_mem_mb={mem_s} "
                    f"best_val_f1={res.final_val_f1:.4f} "
                    f"best_test_f1={res.final_test_f1:.4f}")
@@ -1017,9 +1025,12 @@ def run_experiment_halo(cfg: Config, ds: HostDataset,
             mem = _device_peak_mem_mb()
             mem_s = f"{mem:.2f}" if mem is not None else "NA"
             edges_per_s = valid_edges / max(res.mean_epoch_time, 1e-9)
+            steady = (valid_edges / max(float(np.median(epoch_times)), 1e-9)
+                      if epoch_times else 0.0)
             log_fn(f"[stats] pipeline={cfg.pipeline} run={run} halo={n_dev} "
                    f"train_time_sec={res.train_time_sec:.4f} "
                    f"edges_per_s={edges_per_s:.0f} "
+                   f"edges_per_s_steady={steady:.0f} "
                    f"peak_device_mem_mb={mem_s} "
                    f"best_val_f1={res.final_val_f1:.4f} "
                    f"best_test_f1={res.final_test_f1:.4f}")
