@@ -39,11 +39,12 @@ class _Backbone(nn.Module):
 
     def score_edges(self, x, prop_senders, prop_receivers, score_senders,
                     score_receivers, deterministic: bool = True,
-                    use_remat: bool = False, score_receiver_band: int = 0):
+                    use_remat: bool = False, score_receiver_band: int = 0,
+                    score_sorted_side: str = ""):
         return self.edge_prob_mlp(x, prop_senders, prop_receivers,
                                   score_senders, score_receivers,
                                   deterministic, use_remat,
-                                  score_receiver_band)
+                                  score_receiver_band, score_sorted_side)
 
     def encode_scorer(self, x, prop_senders, prop_receivers,
                       deterministic: bool = True, exchange=None,

@@ -178,11 +178,13 @@ class _EdgeScorer(nn.Module):
 
     def __call__(self, x, prop_senders, prop_receivers, score_senders,
                  score_receivers, deterministic: bool = True,
-                 use_remat: bool = False, score_receiver_band: int = 0):
+                 use_remat: bool = False, score_receiver_band: int = 0,
+                 score_sorted_side: str = ""):
         h = self.encode(x, prop_senders, prop_receivers, deterministic)
         return self.score_from(h, score_senders, score_receivers,
                                deterministic, use_remat,
-                               score_receiver_band)
+                               score_receiver_band,
+                               sorted_side=score_sorted_side)
 
 
 class EdgeProbMLP(_EdgeScorer):

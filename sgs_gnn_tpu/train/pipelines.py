@@ -53,13 +53,15 @@ def _apply_gnn(model, params, x, s, r, w, key):
 
 
 def _score(model, params, x, prop_s, prop_r, score_s, score_r, key,
-           use_remat=False, band=0):
+           use_remat=False, band=0, sorted_side=""):
     # band: static narrow-band bound when score_r is the full
     # sorted-by-receiver edge list (Graph.receiver_band) — routes the
-    # backward dh scatter through the banded Pallas kernel
+    # backward dh scatter through the banded Pallas kernel.
+    # sorted_side: the sampled-index sort declaration for the fused head
+    # (ops/score_sampled.py sorted-head fast path)
     return model.apply(params, x, prop_s, prop_r, score_s, score_r,
-                       False, use_remat, band, rngs={"dropout": key},
-                       method="score_edges")
+                       False, use_remat, band, sorted_side,
+                       rngs={"dropout": key}, method="score_edges")
 
 
 def make_learned_loss(cfg: Config, model, q: int):
@@ -121,6 +123,14 @@ def make_learned_loss(cfg: Config, model, q: int):
             idx, _ = sample_edges(k_sample, probs_full, g.prob, q,
                                   cfg.degree_bias_coef, edge_mask=g.edge_mask,
                                   approx=cfg.approx_topk, bf16=cfg.topk_bf16)
+            sorted_side = ""
+            if cfg.sorted_head != "off" and g.receiver_band > 0:
+                # r5 sorted-head fast path (same as hybrid_rescore below):
+                # ascending edge ids over the receiver-sorted edge list
+                # sort the sampled receivers, so the grad-enabled re-score
+                # head runs banded one-hot ops
+                idx = jnp.sort(idx)
+                sorted_side = "receivers"
             s_s, s_r, sel_valid, reg1_flags = select_edges(idx)
             # pass 3: grad-enabled re-score of only the sampled edges; the
             # scorer's encoder propagates on the sampled subgraph
@@ -128,9 +138,11 @@ def make_learned_loss(cfg: Config, model, q: int):
             # graph)
             if dense:
                 a_samp = dense_adj(s_s, s_r, n)  # unweighted prop structure
-                weights = _score(model, p, g.x, a_samp, None, s_s, s_r, k_s2)
+                weights = _score(model, p, g.x, a_samp, None, s_s, s_r, k_s2,
+                                 sorted_side=sorted_side)
             else:
-                weights = _score(model, p, g.x, s_s, s_r, s_s, s_r, k_s2)
+                weights = _score(model, p, g.x, s_s, s_r, s_s, s_r, k_s2,
+                                 sorted_side=sorted_side)
             probs_for_loss = weights
         elif pipeline == "straight_through":
             probs_full = _score(model, p, g.x, prop_s, prop_r,
